@@ -1,0 +1,81 @@
+"""Benchmark: batched 30 s-clip tagging throughput (audio-sec/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference repo publishes no benchmark numbers (BASELINE.md); its only
+harness is ``model_speed_test`` (reference: ex_maest.py:108-159). The
+baseline for ``vs_baseline`` is therefore an analytic H100 estimate for the
+same workload, documented here so the ratio is reproducible:
+
+  ViT-B fwd on a 30 s clip = 1685 tokens:
+    matmul FLOPs ~= 2 * 86.6e6 params * 1685 tok  = 292 GFLOP
+    attention    ~= 12 layers * 4 * 1685^2 * 768  = 105 GFLOP
+    total        ~= 0.40 TFLOP / clip
+  H100 SXM bf16 dense peak 989.5 TFLOP/s at 50% MFU -> ~495 TFLOP/s
+    -> ~1240 clips/s -> ~37,200 audio-sec/s.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H100_BASELINE_AUDIO_SEC_PER_S = 37200.0
+CLIP_SECONDS = 30.0
+
+
+def main():
+    from maest_tpu.models.registry import build_config
+    from maest_tpu.models.vit import MAESTNet, init_params
+
+    cfg = build_config("discogs-maest-30s-pw-129e")
+    net = MAESTNet(cfg, dtype=jnp.bfloat16)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params = jax.device_put(params)
+
+    batch = 32
+
+    @jax.jit
+    def forward(params, x):
+        logits, _ = net.apply({"params": params}, x[..., None], train=False)
+        return logits
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((batch, 96, 1875), dtype=np.float32), jnp.bfloat16
+    )
+
+    # warmup + sanity: outputs must depend on inputs
+    out = jax.block_until_ready(forward(params, x))
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(params, x)
+    jax.block_until_ready(out)
+    t1 = time.perf_counter()
+
+    sec_per_step = (t1 - t0) / iters
+    audio_sec_per_s = batch * CLIP_SECONDS / sec_per_step
+
+    print(
+        json.dumps(
+            {
+                "metric": "30s-clip tagging throughput (batch inference, bf16)",
+                "value": round(audio_sec_per_s, 1),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(
+                    audio_sec_per_s / H100_BASELINE_AUDIO_SEC_PER_S, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

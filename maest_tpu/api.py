@@ -1,0 +1,226 @@
+"""Public inference API.
+
+``get_maest`` / ``MAEST.__call__`` / ``MAEST.predict_labels`` mirror the
+reference surface (reference: models/maest.py:831-939, 1467-1569) with the
+same input dispatch:
+
+  rank 1            waveform -> log-mel -> chunked into a batch of windows
+  rank 2 (wave)     batch of waveforms -> log-mel per row
+  rank 2 (melspec)  (96, T) mel -> chunked into a batch of windows
+  rank 3            (B, 96, T) mel -> channel dim added
+  rank 4            (B, 1, 96, T) passthrough
+
+Everything from the log-mel front-end through the sigmoid runs inside one
+jitted XLA program per input shape; chunking uses static reshapes so compiled
+programs are cached per chunk count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dsp import log_mel_spectrogram
+from .labels import labels_for
+from .models.config import MAESTConfig
+from .models.registry import ARCHS, build_config, cached_checkpoint_path
+from .models.vit import MAESTNet, init_params
+
+
+class MAEST:
+    """Inference-oriented wrapper holding a config + param pytree."""
+
+    def __init__(self, cfg: MAESTConfig, params, dtype=jnp.float32):
+        self.cfg = cfg
+        self.params = params
+        self.dtype = dtype
+        self.net = MAESTNet(cfg, dtype=dtype)
+        self.labels = labels_for(cfg.num_classes)
+
+        @functools.partial(
+            jax.jit, static_argnames=("transformer_block", "return_self_attention")
+        )
+        def _apply(params, x, transformer_block, return_self_attention):
+            return self.net.apply(
+                {"params": params},
+                x,
+                train=False,
+                transformer_block=transformer_block,
+                return_self_attention=return_self_attention,
+            )
+
+        self._apply = _apply
+
+        @jax.jit
+        def _melspec(wave):
+            return log_mel_spectrogram(wave)
+
+        self._melspec = _melspec
+
+    # ------------------------------------------------------------------
+    @property
+    def img_size(self) -> tuple[int, int]:
+        return self.cfg.img_size
+
+    def melspectrogram(self, waveform) -> jnp.ndarray:
+        """Log-mel front-end (reference: models/helpers/melspectrogram.py:47-60)."""
+        return self._melspec(jnp.asarray(waveform))
+
+    def _chunk_melspec(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Cut a (96, T) mel into a batch of (1, 96, img_t) windows
+        (reference: models/maest.py:868-888)."""
+        img_f, img_t = self.cfg.img_size
+        if x.shape[1] >= img_t:
+            trim = x.shape[1] % img_t
+            if trim:
+                x = x[:, :-trim]
+            n = x.shape[1] // img_t
+            x = x.reshape(img_f, n, img_t).transpose(1, 0, 2)[:, None, :, :]
+        else:
+            x = x[None, None, :, :]
+        return x
+
+    def __call__(
+        self,
+        x,
+        transformer_block: int = -1,
+        return_self_attention: bool = False,
+        melspectrogram_input: bool = False,
+    ):
+        """Forward pass; returns (logits, features) / (None, embeddings) /
+        (logits_cls, logits_dist, features) per ``distilled_type`` and
+        ``transformer_block`` (reference: models/maest.py:831-933)."""
+        if isinstance(x, (list, tuple)) or not hasattr(x, "shape"):
+            raise TypeError("Input must be an array (numpy or jax)")
+        x = jnp.asarray(x)
+        if x.size == 0:
+            raise ValueError("Input tensor must not be empty")
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.float32)
+
+        img_f, img_t = self.cfg.img_size
+
+        if x.ndim == 1:
+            if melspectrogram_input:
+                raise ValueError(
+                    "Input is 1D, but melspectrogram_input is True; not supported."
+                )
+            mel = self.melspectrogram(x)  # (96, T)
+            x = self._chunk_melspec(mel)
+        elif x.ndim == 2 and melspectrogram_input:
+            x = self._chunk_melspec(x)
+        elif x.ndim == 2:
+            mel = self.melspectrogram(x)  # (B, 96, T)
+            x = mel[:, None, :, :]
+        elif x.ndim == 3:
+            x = x[:, None, :, :]
+        elif x.ndim != 4:
+            raise ValueError(f"unsupported input rank {x.ndim}")
+
+        # NCHW -> NHWC for the TPU-native layout
+        x = x.transpose(0, 2, 3, 1)
+        return self._apply(
+            self.params, x, transformer_block, return_self_attention
+        )
+
+    def predict_labels(self, x):
+        """Sigmoid activations averaged over the chunk axis + label list
+        (reference: models/maest.py:935-939)."""
+        logits = self(x)[0]
+        activations = jax.nn.sigmoid(logits)
+        activations = jnp.mean(activations, axis=0)
+        return np.asarray(activations), self.labels
+
+
+def get_maest(
+    arch: str = "discogs-maest-30s-pw-129e",
+    pretrained: bool = True,
+    n_classes: Optional[int] = None,
+    in_channels: int = 1,
+    stride_f: int = 10,
+    stride_t: int = 10,
+    input_f: int = 96,
+    input_t: Optional[int] = None,
+    u_patchout: int = 0,
+    s_patchout_t: int = 0,
+    s_patchout_f: int = 0,
+    s_patchout_f_indices: tuple = (),
+    s_patchout_f_interleaved: int = 0,
+    s_patchout_t_indices: tuple = (),
+    s_patchout_t_interleaved: int = 0,
+    distilled_type: str = "mean",
+    checkpoint: Optional[str] = None,
+    checkpoint_swa_weights: bool = True,
+    checkpoint_discard_head: bool = False,
+    dtype=jnp.float32,
+    seed: int = 0,
+) -> MAEST:
+    """Build a MAEST model, optionally loading released weights.
+
+    Equivalent of the reference factory (reference: models/maest.py:1467-1569).
+    With ``pretrained=True`` the released checkpoint is read from the local
+    cache directory (no network in this environment); ``checkpoint=`` loads an
+    explicit ``.ckpt``/``.pt``/``.safetensors`` file.
+    """
+    from .checkpoints.convert import (
+        load_safetensors,
+        load_torch_checkpoint,
+        merge_params,
+        strip_prefix,
+        torch_to_jax_params,
+    )
+
+    cfg = build_config(
+        arch,
+        n_classes=n_classes,
+        in_channels=in_channels,
+        stride_f=stride_f,
+        stride_t=stride_t,
+        input_f=input_f,
+        input_t=input_t,
+        u_patchout=u_patchout,
+        s_patchout_t=s_patchout_t,
+        s_patchout_f=s_patchout_f,
+        s_patchout_f_indices=s_patchout_f_indices,
+        s_patchout_f_interleaved=s_patchout_f_interleaved,
+        s_patchout_t_indices=s_patchout_t_indices,
+        s_patchout_t_interleaved=s_patchout_t_interleaved,
+        distilled_type=distilled_type,
+    )
+
+    params = init_params(cfg, jax.random.PRNGKey(seed))
+
+    if pretrained:
+        path = cached_checkpoint_path(ARCHS[arch])
+        if not path.exists():
+            raise FileNotFoundError(
+                f"pretrained weights for {arch} not found at {path}; download "
+                f"{ARCHS[arch].url} into the cache dir (or set MAEST_TPU_CACHE)."
+            )
+        state = _load_any(str(path))
+        state = strip_prefix(state, swa_weights=True)
+        loaded = torch_to_jax_params(state, cfg)
+        params = merge_params(params, loaded)
+
+    if checkpoint:
+        state = _load_any(checkpoint)
+        state = strip_prefix(state, swa_weights=checkpoint_swa_weights)
+        loaded = torch_to_jax_params(
+            state, cfg, discard_head=checkpoint_discard_head
+        )
+        params = merge_params(params, loaded)
+
+    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    return MAEST(cfg, params, dtype=dtype)
+
+
+def _load_any(path: str):
+    from .checkpoints.convert import load_safetensors, load_torch_checkpoint
+
+    if path.endswith(".safetensors"):
+        return load_safetensors(path)
+    return load_torch_checkpoint(path)

@@ -1,0 +1,76 @@
+"""Model configuration.
+
+Mirrors the reference constructor surface (reference: models/maest.py:431-460
+and the ``maest`` Sacred ingredient defaults at models/maest.py:1444-1464) as a
+frozen dataclass so every shape is static at trace time — the key TPU design
+decision (patchout keep-counts, pos-embed cuts and chunk counts are all
+compile-time constants).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class MAESTConfig:
+    # input geometry
+    img_size: tuple[int, int] = (96, 998)  # (freq bins, time frames)
+    patch_size: int = 16
+    stride: tuple[int, int] = (10, 10)
+    in_chans: int = 1
+
+    # transformer
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+
+    # heads
+    num_classes: int = 527
+    distilled: bool = True
+    distilled_type: str = "mean"  # "mean" | "separated" | other -> plain head
+
+    # regularization
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+
+    # patchout (reference: models/maest.py:433-439)
+    u_patchout: int = 0
+    s_patchout_t: int = 0
+    s_patchout_f: int = 0
+    s_patchout_f_indices: tuple[int, ...] = ()
+    s_patchout_f_interleaved: int = 0
+    s_patchout_t_indices: tuple[int, ...] = ()
+    s_patchout_t_interleaved: int = 0
+
+    # numerics
+    layer_norm_eps: float = 1e-6
+    # attention implementation: "auto" picks the Pallas flash kernel on TPU
+    # and XLA elsewhere; "xla"/"flash" force a path.
+    attention_impl: str = "auto"
+
+    @property
+    def grid_size(self) -> tuple[int, int]:
+        # Pos-embed table sizes use img_size // stride (reference:
+        # models/maest.py:234); the conv itself emits
+        # floor((dim - patch)/stride) + 1 patches and the time table is cut to
+        # the actual width, absorbing the off-by-one (models/maest.py:659).
+        return (self.img_size[0] // self.stride[0], self.img_size[1] // self.stride[1])
+
+    @property
+    def num_tokens(self) -> int:
+        return 2 if self.distilled else 1
+
+    def conv_grid(self, f: int, t: int) -> tuple[int, int]:
+        """Patch grid actually produced by the embedding conv for an input."""
+        return (
+            (f - self.patch_size) // self.stride[0] + 1,
+            (t - self.patch_size) // self.stride[1] + 1,
+        )
+
+    def replace(self, **kw) -> "MAESTConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,147 @@
+"""Architecture registry and factory.
+
+Mirrors the reference ``default_cfgs`` + arch constructors + ``get_maest``
+dispatch (reference: models/maest.py:64-153, 1151-1388, 1467-1569) with the
+same public arch strings. Checkpoints are resolved from a local cache
+directory (``$MAEST_TPU_CACHE``, default ``~/.cache/maest_tpu``) since the
+build environment has no network egress; place the released ``.ckpt`` /
+``.safetensors`` files there under their release filenames.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from pathlib import Path
+
+from .config import MAESTConfig
+
+
+@dataclass(frozen=True)
+class ArchSpec:
+    name: str
+    url: str
+    num_classes: int
+    default_input_t: int
+    input_f: int = 96
+    mean: float = 2.06755686098554
+    std: float = 1.268292820667291
+    kind: str = "maest"  # "maest" | "imagenet" (joint pos-embed source)
+
+
+_REL = "https://github.com/palonso/MAEST/releases/download/v0.0.0-beta"
+
+ARCHS: dict[str, ArchSpec] = {
+    "passt_deit_bd_p16_384": ArchSpec(
+        "passt_deit_bd_p16_384",
+        "https://dl.fbaipublicfiles.com/deit/deit_base_patch16_384-8de9b5d1.pth",
+        1000, 998, kind="imagenet",
+    ),
+    "passt_s_swa_p16_128_ap476": ArchSpec(
+        "passt_s_swa_p16_128_ap476",
+        "https://github.com/kkoutini/PaSST/releases/download/v0.0.1-audioset/"
+        "passt-s-f128-p16-s10-ap.476-swa.pt",
+        527, 998,
+    ),
+    "discogs-maest-5s-pw-129e": ArchSpec(
+        "discogs-maest-5s-pw-129e", f"{_REL}/discogs-maest-5s-pw-129e-swa.ckpt",
+        400, 312,
+    ),
+    "discogs-maest-10s-fs-129e": ArchSpec(
+        "discogs-maest-10s-fs-129e", f"{_REL}/discogs-maest-10s-fs-129e-swa.ckpt",
+        400, 625,
+    ),
+    "discogs-maest-10s-pw-129e": ArchSpec(
+        "discogs-maest-10s-pw-129e", f"{_REL}/discogs-maest-10s-pw-129e-swa.ckpt",
+        400, 625,
+    ),
+    "discogs-maest-10s-dw-75e": ArchSpec(
+        "discogs-maest-10s-dw-75e", f"{_REL}/discogs-maest-10s-dw-75e-swa.ckpt",
+        400, 625,
+    ),
+    "discogs-maest-20s-pw-129e": ArchSpec(
+        "discogs-maest-20s-pw-129e", f"{_REL}/discogs-maest-20s-pw-129e-swa.ckpt",
+        400, 1250,
+    ),
+    "discogs-maest-30s-pw-129e": ArchSpec(
+        "discogs-maest-30s-pw-129e", f"{_REL}/discogs-maest-30s-pw-129e-swa.ckpt",
+        400, 1875,
+    ),
+    "discogs-maest-30s-pw-73e-ts": ArchSpec(
+        "discogs-maest-30s-pw-73e-ts", f"{_REL}/discogs-maest-30s-pw-73e-ts-swa.ckpt",
+        400, 1875,
+    ),
+    "discogs-maest-30s-pw-129e-519l": ArchSpec(
+        "discogs-maest-30s-pw-129e-519l",
+        f"{_REL}/discogs-maest-30s-pw-129e-519l-swa.ckpt",
+        519, 1875,
+    ),
+}
+
+
+def list_architectures() -> list[str]:
+    return sorted(ARCHS)
+
+
+def cache_dir() -> Path:
+    return Path(os.environ.get("MAEST_TPU_CACHE",
+                               Path.home() / ".cache" / "maest_tpu"))
+
+
+def cached_checkpoint_path(spec: ArchSpec) -> Path:
+    return cache_dir() / spec.url.rsplit("/", 1)[-1]
+
+
+def build_config(
+    arch: str,
+    *,
+    n_classes: int | None = None,
+    in_channels: int = 1,
+    stride_f: int = 10,
+    stride_t: int = 10,
+    input_f: int = 96,
+    input_t: int | None = None,
+    u_patchout: int = 0,
+    s_patchout_t: int = 0,
+    s_patchout_f: int = 0,
+    s_patchout_f_indices: tuple = (),
+    s_patchout_f_interleaved: int = 0,
+    s_patchout_t_indices: tuple = (),
+    s_patchout_t_interleaved: int = 0,
+    distilled_type: str = "mean",
+    drop_rate: float = 0.0,
+    attn_drop_rate: float = 0.0,
+    drop_path_rate: float = 0.0,
+) -> MAESTConfig:
+    """Build the model config for an arch string (reference: models/maest.py:1467-1548)."""
+    if arch not in ARCHS:
+        raise NotImplementedError(f"model {arch} not implemented")
+    spec = ARCHS[arch]
+    if input_t is None:
+        input_t = spec.default_input_t
+    if arch == "discogs-maest-30s-pw-129e-519l":
+        n_classes = 519  # forced (reference: models/maest.py:1377-1379)
+    if n_classes is None:
+        n_classes = spec.num_classes if spec.kind == "maest" else 400
+    return MAESTConfig(
+        img_size=(input_f, input_t),
+        patch_size=16,
+        stride=(stride_f, stride_t),
+        in_chans=in_channels,
+        embed_dim=768,
+        depth=12,
+        num_heads=12,
+        num_classes=n_classes,
+        distilled=True,
+        distilled_type=distilled_type,
+        u_patchout=u_patchout,
+        s_patchout_t=s_patchout_t,
+        s_patchout_f=s_patchout_f,
+        s_patchout_f_indices=tuple(s_patchout_f_indices),
+        s_patchout_f_interleaved=s_patchout_f_interleaved,
+        s_patchout_t_indices=tuple(s_patchout_t_indices),
+        s_patchout_t_interleaved=s_patchout_t_interleaved,
+        drop_rate=drop_rate,
+        attn_drop_rate=attn_drop_rate,
+        drop_path_rate=drop_path_rate,
+    )

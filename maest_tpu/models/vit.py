@@ -1,0 +1,392 @@
+"""MAEST ViT in Flax — PaSST-style spectrogram transformer, TPU-first.
+
+Functionally equivalent to the reference model (reference: models/maest.py:423-939)
+but designed around XLA's compilation model:
+
+  * all shapes are static: patchout keep-counts come from the config, the
+    time pos-embed cut uses static slices (eval) or ``lax.dynamic_slice``
+    with a traced offset (train),
+  * activations flow NHWC / (B, N, E) so matmuls tile directly onto the MXU,
+  * attention softmax accumulates in float32 regardless of compute dtype,
+  * randomness (patchout, mixup, droppath, time offset) comes from explicit
+    PRNG keys so a train step is one pure jitted function.
+
+Param-tree layout is chosen so the torch checkpoint mapping is 1:1
+(see maest_tpu/checkpoints/convert.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import MAESTConfig
+
+
+class Mlp(nn.Module):
+    """Transformer MLP (reference: models/maest.py:183-208)."""
+
+    hidden_dim: int
+    out_dim: int
+    drop_rate: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention (reference: models/maest.py:346-378).
+
+    Fused qkv projection; fp32 softmax; no explicit attention-matrix
+    materialization beyond what XLA chooses (a Pallas flash kernel can be
+    swapped in via maest_tpu.ops.attention for long sequences).
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"  # "auto" | "flash" | "xla"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        from ..ops.attention import flash_attention, use_flash
+
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        scale = head_dim**-0.5
+
+        qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
+
+        # attention-matrix dropout forces the materializing path (only used
+        # when attn_drop_rate > 0 while training; all shipped configs use 0)
+        needs_drop = self.attn_drop > 0.0 and not deterministic
+        impl = self.impl
+        if impl == "auto":
+            impl = "flash" if (use_flash(n, head_dim) and not needs_drop) else "xla"
+
+        if impl == "flash":
+            out = flash_attention(q, k, v).reshape(b, n, c)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn * scale, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
+            attn = attn.astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+def drop_path(x, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Per-sample stochastic depth (reference: models/helpers/vit_helpers.py:74-104)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, (x.shape[0],) + (1,) * (x.ndim - 1))
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block (reference: models/maest.py:381-420)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool, return_self_attention: bool = False):
+        norm1 = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")
+        attn = Attention(
+            self.dim, self.num_heads, qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
+            impl=self.attn_impl, name="attn",
+        )
+        if return_self_attention:
+            return attn(norm1(x), deterministic=deterministic)
+
+        dp_rng1 = dp_rng2 = None
+        if not deterministic and self.drop_path_rate > 0.0:
+            dp_rng1 = self.make_rng("droppath")
+            dp_rng2 = self.make_rng("droppath")
+
+        y = attn(norm1(x), deterministic=deterministic)
+        x = x + drop_path(y, self.drop_path_rate, deterministic, dp_rng1)
+        y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
+                dtype=self.dtype, name="mlp")(
+            nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x),
+            deterministic=deterministic,
+        )
+        x = x + drop_path(y, self.drop_path_rate, deterministic, dp_rng2)
+        return x
+
+
+def _static_keep_indices(dim: int, drop_indices, interleave: int) -> np.ndarray | None:
+    """Deterministic patchout index sets (reference: models/maest.py:703-766)."""
+    if drop_indices:
+        kept = np.array([i for i in range(dim) if i not in set(int(j) for j in drop_indices)])
+        return kept
+    if interleave:
+        return np.arange(0, dim, interleave)
+    return None
+
+
+class MAESTNet(nn.Module):
+    """The MAEST transformer body + heads.
+
+    ``__call__`` returns, depending on ``transformer_block``:
+      * -1: tuple per ``distilled_type`` — ("mean": (logits, features),
+        "separated": (logits_cls, logits_dist, features), else (logits, x))
+      * >=0: (None, 2304-d embeddings [cls | dist | mean(tokens)])
+        (reference: models/maest.py:811-829)
+    """
+
+    cfg: MAESTConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, F, T, C) NHWC spectrogram patches
+        *,
+        train: bool = False,
+        transformer_block: int = -1,
+        return_self_attention: bool = False,
+    ):
+        cfg = self.cfg
+        eps = cfg.layer_norm_eps
+        b = x.shape[0]
+
+        # --- patch embedding (reference: models/maest.py:214-256) ---
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=cfg.stride,
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed_proj",
+        )(x)  # (B, F', T', E)
+        _, f_dim, t_dim, _ = x.shape
+
+        # --- decoupled positional embeddings (reference: models/maest.py:522-530,
+        # cut logic :645-669). Param layout (F,E)/(T,E) is JAX-native; the
+        # checkpoint converter reshapes from torch's (1,E,F,1)/(1,E,1,T). ---
+        grid_f, grid_t = cfg.grid_size
+        freq_pos = self.param(
+            "freq_new_pos_embed",
+            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            (grid_f, cfg.embed_dim),
+        )
+        time_pos = self.param(
+            "time_new_pos_embed",
+            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            (grid_t, cfg.embed_dim),
+        )
+        token_pos = self.param(
+            "new_pos_embed",
+            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            (cfg.num_tokens, cfg.embed_dim),
+        )
+
+        if t_dim > grid_t:
+            raise ValueError(
+                f"input yields {t_dim} time patches but the time pos-embed table "
+                f"has {grid_t}; reduce the input duration."
+            )
+        if train and t_dim < grid_t:
+            # random temporal crop of the embed table (train only)
+            off = jax.random.randint(
+                self.make_rng("patchout"), (), 0, grid_t - t_dim + 1
+            )
+            time_pos_cut = jax.lax.dynamic_slice(
+                time_pos, (off, 0), (t_dim, cfg.embed_dim)
+            )
+        else:
+            time_pos_cut = time_pos[:t_dim]
+
+        x = x + time_pos_cut[None, None, :, :].astype(self.dtype)
+        x = x + freq_pos[:f_dim][None, :, None, :].astype(self.dtype)
+
+        # --- structured patchout, train only (reference: models/maest.py:678-701).
+        # Keep-counts are static so shapes stay compile-time constant. ---
+        if train and cfg.s_patchout_t:
+            keep_t = t_dim - cfg.s_patchout_t
+            if keep_t <= 0:
+                raise ValueError("s_patchout_t >= time patches")
+            idx = jnp.sort(
+                jax.random.permutation(self.make_rng("patchout"), t_dim)[:keep_t]
+            )
+            x = jnp.take(x, idx, axis=2)
+            t_dim = keep_t
+        if train and cfg.s_patchout_f:
+            keep_f = f_dim - cfg.s_patchout_f
+            if keep_f <= 0:
+                raise ValueError("s_patchout_f >= freq patches")
+            idx = jnp.sort(
+                jax.random.permutation(self.make_rng("patchout"), f_dim)[:keep_f]
+            )
+            x = jnp.take(x, idx, axis=1)
+            f_dim = keep_f
+
+        # --- deterministic patchout for embedding ablations (any mode;
+        # reference: models/maest.py:703-766) ---
+        kept = _static_keep_indices(
+            f_dim, cfg.s_patchout_f_indices, cfg.s_patchout_f_interleaved
+        )
+        if kept is not None:
+            x = x[:, kept, :, :]
+            f_dim = len(kept)
+        kept = _static_keep_indices(
+            t_dim, cfg.s_patchout_t_indices, cfg.s_patchout_t_interleaved
+        )
+        if kept is not None:
+            x = x[:, :, kept, :]
+            t_dim = len(kept)
+
+        # --- flatten to tokens, f-major (reference flattens (B,E,F,T) over
+        # (F,T); NHWC reshape gives the identical order) ---
+        x = x.reshape(b, f_dim * t_dim, cfg.embed_dim)
+
+        # --- unstructured patchout, train only (reference: models/maest.py:773-780) ---
+        if train and cfg.u_patchout:
+            seq_len = x.shape[1]
+            keep = seq_len - cfg.u_patchout
+            if keep <= 0:
+                raise ValueError("u_patchout >= sequence length")
+            idx = jnp.sort(
+                jax.random.permutation(self.make_rng("patchout"), seq_len)[:keep]
+            )
+            x = jnp.take(x, idx, axis=1)
+
+        # --- CLS / DIST token assembly (reference: models/maest.py:785-796) ---
+        cls_token = self.param(
+            "cls_token",
+            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            (1, cfg.embed_dim),
+        )
+        cls = (cls_token + token_pos[:1]).astype(self.dtype)
+        cls = jnp.broadcast_to(cls[None], (b, 1, cfg.embed_dim))
+        if cfg.distilled:
+            dist_token = self.param(
+                "dist_token",
+                nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+                (1, cfg.embed_dim),
+            )
+            dist = (dist_token + token_pos[1:2]).astype(self.dtype)
+            dist = jnp.broadcast_to(dist[None], (b, 1, cfg.embed_dim))
+            x = jnp.concatenate([cls, dist, x], axis=1)
+        else:
+            x = jnp.concatenate([cls, x], axis=1)
+
+        x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
+
+        # --- transformer blocks ---
+        dpr = [
+            float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
+        ]
+        blocks = [
+            Block(
+                cfg.embed_dim,
+                cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                qkv_bias=cfg.qkv_bias,
+                drop=cfg.drop_rate,
+                attn_drop=cfg.attn_drop_rate,
+                drop_path_rate=dpr[i],
+                eps=eps,
+                dtype=self.dtype,
+                attn_impl=cfg.attention_impl,
+                name=f"blocks_{i}",
+            )
+            for i in range(cfg.depth)
+        ]
+
+        if transformer_block == -1:
+            for blk in blocks:
+                x = blk(x, deterministic=not train)
+            x = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="norm")(x)
+            if cfg.distilled:
+                feats = (x[:, 0], x[:, 1])
+            else:
+                feats = x[:, 0]
+            return self._heads(feats)
+
+        # embedding tap (reference: models/maest.py:811-829)
+        for i, blk in enumerate(blocks):
+            if i == transformer_block:
+                x = blk(
+                    x,
+                    deterministic=not train,
+                    return_self_attention=return_self_attention,
+                )
+                break
+            x = blk(x, deterministic=not train)
+        cls_out = x[:, 0, :]
+        dist_out = x[:, 1, :]
+        mean_out = jnp.mean(x[:, 2:, :], axis=1)
+        return None, jnp.concatenate([cls_out, dist_out, mean_out], axis=1)
+
+    def _heads(self, feats):
+        """Classifier heads (reference: models/maest.py:570-582, 905-933)."""
+        cfg = self.cfg
+        # torch nn.LayerNorm default eps (1e-5) — the head norm is constructed
+        # without the 1e-6 override used by the blocks (reference:
+        # models/maest.py:570-571 vs :499).
+        head_norm = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, name="head_norm"
+        )
+        head_linear = nn.Dense(cfg.num_classes, dtype=self.dtype, name="head_linear")
+
+        if not cfg.distilled:
+            x = feats
+            return head_linear(head_norm(x)), x
+
+        cls, dist = feats
+        if cfg.distilled_type == "mean":
+            features = (cls + dist) / 2
+            return head_linear(head_norm(features)), features
+        if cfg.distilled_type == "separated":
+            features = (cls + dist) / 2
+            head_dist = nn.Dense(
+                cfg.num_classes, dtype=self.dtype, name="head_dist"
+            )
+            return head_linear(head_norm(cls)), head_dist(dist), features
+        # fall-through: apply head to the raw tuple element-wise is not
+        # meaningful; the reference applies head(x) to the tuple which only
+        # works for non-distilled. Treat as "mean" of cls.
+        return head_linear(head_norm(cls)), cls
+
+
+def init_params(cfg: MAESTConfig, rng: jax.Array, dtype=jnp.float32):
+    """Initialize a parameter pytree for the given config."""
+    model = MAESTNet(cfg, dtype=dtype)
+    f, t = cfg.img_size
+    dummy = jnp.zeros((1, f, t, cfg.in_chans), dtype)
+    variables = model.init({"params": rng}, dummy, train=False)
+    return variables["params"]

@@ -1,0 +1,85 @@
+"""Device mesh + sharding rules.
+
+The reference's only parallelism is DDP over NCCL (reference: ex_maest.py:57,
+ex_maest519.sh:3-9). The TPU-native equivalent is a ``jax.sharding.Mesh``
+with a ``data`` axis (gradient psum inserted by XLA) plus an optional
+``model`` axis for Megatron-style tensor parallelism of the transformer
+matmuls — useful when scaling batch-1 latency or very long inputs across a
+pod slice. Collectives ride ICI; nothing here is hand-written.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    """Build a (data, model) mesh over the first ``n_devices`` devices."""
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    if n_devices % model_parallel:
+        raise ValueError(f"{n_devices} devices not divisible by model_parallel={model_parallel}")
+    grid = np.array(devices[:n_devices]).reshape(
+        n_devices // model_parallel, model_parallel
+    )
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_spec(path: tuple, shape: tuple) -> P:
+    """Megatron-style partition specs for MAEST params over the model axis.
+
+    qkv / fc1 kernels split the output dim; proj / fc2 kernels split the
+    input dim, so each block needs one reduce-scatter-equivalent collective
+    pair which XLA inserts automatically.
+    """
+    keys = tuple(str(k) for k in path)
+    name = "/".join(keys)
+    if len(shape) < 2:
+        return P()
+    if "attn" in name and "qkv" in name and name.endswith("kernel"):
+        return P(None, "model")
+    if "attn" in name and "proj" in name and name.endswith("kernel"):
+        return P("model", None)
+    if "mlp" in name and "fc1" in name and name.endswith("kernel"):
+        return P(None, "model")
+    if "mlp" in name and "fc2" in name and name.endswith("kernel"):
+        return P("model", None)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param pytree on the mesh with model-parallel specs."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        spec = param_spec(path, np.shape(leaf))
+        out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
+    return flax.traverse_util.unflatten_dict(out)
+
+
+def param_shardings(params, mesh: Mesh):
+    """Matching pytree of NamedShardings (for jit in/out shardings)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {
+        path: NamedSharding(mesh, param_spec(path, np.shape(leaf)))
+        for path, leaf in flat.items()
+    }
+    return flax.traverse_util.unflatten_dict(out)

@@ -1,0 +1,66 @@
+"""Train state: params + optimizer + SWA as pure pytrees.
+
+SWA is a second parameter pytree with a running equal-weight average,
+updated once per epoch from the start epoch — the semantics of the
+reference's Lightning callback (reference: helpers/swa_callback.py:9-44,
+defaults at models/module.py:24-27), but structured as data instead of
+module copies so both nets evaluate inside one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    swa_params: Any
+    swa_n: jnp.ndarray  # number of models averaged so far (0 -> swa == init)
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            swa_params=jax.tree.map(jnp.asarray, params),
+            swa_n=jnp.zeros((), jnp.int32),
+        )
+
+
+def swa_update(state: TrainState) -> TrainState:
+    """Fold current params into the SWA running mean (call at epoch end
+    once past ``swa_epoch_start``)."""
+    n = state.swa_n
+    new_swa = jax.tree.map(
+        lambda avg, p: jnp.where(
+            n == 0, p, avg + (p - avg) / (n + 1).astype(avg.dtype)
+        ),
+        state.swa_params,
+        state.params,
+    )
+    return state.replace(swa_params=new_swa, swa_n=n + 1)
+
+
+def make_optimizer(
+    *,
+    lr_schedule,
+    adamw: bool = True,
+    weight_decay: float = 1e-4,
+) -> optax.GradientTransformation:
+    """AdamW / Adam matching the reference (reference: models/module.py:237-243).
+
+    Note the reference applies torch AdamW decay to *all* params including
+    norms and pos-embeds (no param groups), so we do the same for parity.
+    """
+    if adamw:
+        return optax.adamw(lr_schedule, weight_decay=weight_decay)
+    return optax.adam(lr_schedule)

@@ -1,0 +1,179 @@
+"""Jitted train / eval / predict steps.
+
+One compiled XLA program per workload: normalization, SpecAugment, mixup,
+the forward/backward pass and the optimizer update all run on-device
+(replacing the reference's CPU dataloader transforms + Lightning loop,
+reference: models/module.py:73-102, discogs/datamodule.py:126-152).
+Data parallelism comes from sharding the batch over the mesh ``data`` axis;
+gradient all-reduce is inserted by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..dsp import NORM_MEAN, NORM_STD
+from ..models.vit import MAESTNet
+from ..ops.augment import mixup, spec_augment
+from .state import TrainState
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    """Defaults mirror the reference datamodule config
+    (reference: discogs/datamodule.py:42-63) and mixup alpha
+    (models/module.py:29)."""
+
+    normalize: bool = True
+    norm_mean: float = NORM_MEAN
+    norm_std: float = NORM_STD
+    masking: bool = True
+    time_mask_param: int = 8
+    freq_mask_param: int = 5
+    mask_p: float = 0.2
+    time_masks: int = 20
+    freq_masks: int = 8
+    mixup_alpha: float = 0.3
+
+
+def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean binary cross-entropy with logits (torch BCEWithLogitsLoss)."""
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
+    return jnp.mean(
+        jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def _prepare(x: jnp.ndarray, aug: AugmentConfig, key, train: bool) -> jnp.ndarray:
+    """Normalize (+ SpecAugment when training) a (B, F, T) mel batch and
+    return NHWC (B, F, T, 1)."""
+    x = x.astype(jnp.float32)
+    if aug.normalize:
+        x = (x - aug.norm_mean) / (aug.norm_std * 2.0)
+    if train and aug.masking:
+        x = spec_augment(
+            key,
+            x,
+            time_mask_param=aug.time_mask_param,
+            freq_mask_param=aug.freq_mask_param,
+            p=aug.mask_p,
+            time_masks=aug.time_masks,
+            freq_masks=aug.freq_masks,
+        )
+    return x[..., None]
+
+
+def make_train_step(
+    net: MAESTNet,
+    tx: optax.GradientTransformation,
+    aug: AugmentConfig = AugmentConfig(),
+    *,
+    teacher_student: bool = False,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Batch: dict with ``x`` (B, F, T) raw log-mel float16/32, ``y`` (B, C)
+    [and ``y_teacher`` (B, C) for teacher-student]. Loss is BCE, or the
+    mean of student/teacher BCE for the TS variant
+    (reference: models/module.py:73-102, 280-316).
+    """
+
+    def step(state: TrainState, batch, rng: jax.Array):
+        k_mask, k_mix, k_patch, k_drop, k_dropout = jax.random.split(rng, 5)
+
+        x = _prepare(batch["x"], aug, k_mask, train=True)
+        targets = (batch["y"],) if not teacher_student else (
+            batch["y"], batch["y_teacher"],
+        )
+        x, targets = mixup(k_mix, x, targets, aug.mixup_alpha)
+
+        def loss_fn(params):
+            out = net.apply(
+                {"params": params},
+                x,
+                train=True,
+                rngs={
+                    "patchout": k_patch,
+                    "droppath": k_drop,
+                    "dropout": k_dropout,
+                },
+            )
+            if teacher_student:
+                y_hat, y_hat_teacher = out[0], out[1]
+                loss_standard = bce_with_logits(y_hat, targets[0])
+                loss_teacher = bce_with_logits(y_hat_teacher, targets[1])
+                loss = (loss_standard + loss_teacher) / 2
+                return loss, {
+                    "train_loss": loss,
+                    "train_loss_standard": loss_standard,
+                    "train_loss_teacher": loss_teacher,
+                }
+            y_hat = out[0]
+            loss = bce_with_logits(y_hat, targets[0])
+            return loss, {"train_loss": loss}
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    net: MAESTNet,
+    aug: AugmentConfig = AugmentConfig(),
+    *,
+    teacher_student: bool = False,
+    with_swa: bool = True,
+):
+    """Eval step running both live and SWA weights in one program
+    (reference: models/module.py:121-146)."""
+
+    def one(params, x, batch):
+        out = net.apply({"params": params}, x, train=False)
+        logits = out[0]
+        loss = bce_with_logits(logits, batch["y"])
+        res = {"loss": loss, "y_hat": jax.nn.sigmoid(logits.astype(jnp.float32))}
+        if teacher_student:
+            loss_teacher = bce_with_logits(logits, batch["y_teacher"])
+            res["loss_standard"] = loss
+            res["loss_teacher"] = loss_teacher
+            res["loss"] = (loss + loss_teacher) / 2
+        return res
+
+    def step(state: TrainState, batch):
+        x = _prepare(batch["x"], aug, None, train=False)
+        out = {"": one(state.params, x, batch)}
+        if with_swa:
+            out["swa"] = one(state.swa_params, x, batch)
+        return out
+
+    return jax.jit(step)
+
+
+def make_predict_step(net: MAESTNet, aug: AugmentConfig = AugmentConfig()):
+    """Predict step returning logits + block-k embeddings
+    (reference: models/module.py:104-112)."""
+
+    @functools.partial(jax.jit, static_argnames=("transformer_block",))
+    def step(params, batch, transformer_block: int):
+        x = _prepare(batch["x"], aug, None, train=False)
+        logits = net.apply({"params": params}, x, train=False)[0]
+        _, embeddings = net.apply(
+            {"params": params}, x, train=False, transformer_block=transformer_block
+        )
+        return {"logits": logits, "embeddings": embeddings}
+
+    return step

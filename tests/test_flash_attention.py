@@ -1,0 +1,37 @@
+"""Pallas flash-attention kernel vs XLA reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maest_tpu.ops.attention import attention_reference, flash_attention
+
+
+def _rand(key, shape):
+    return jax.random.normal(key, shape, jnp.float32) * 0.5
+
+
+def test_flash_matches_reference():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    b, n, h, d = 2, 200, 4, 64  # n not a multiple of 128 -> exercises padding
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+    out = flash_attention(q, k, v, 128, True)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_grad_matches_reference():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    b, n, h, d = 1, 128, 2, 64
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 128, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
