@@ -158,6 +158,9 @@ def get_maest(
     checkpoint_discard_head: bool = False,
     dtype=jnp.float32,
     seed: int = 0,
+    embed_dim: int = 768,
+    depth: int = 12,
+    num_heads: int = 12,
 ) -> MAEST:
     """Build a MAEST model, optionally loading released weights.
 
@@ -190,6 +193,9 @@ def get_maest(
         s_patchout_t_indices=s_patchout_t_indices,
         s_patchout_t_interleaved=s_patchout_t_interleaved,
         distilled_type=distilled_type,
+        embed_dim=embed_dim,
+        depth=depth,
+        num_heads=num_heads,
     )
 
     params = init_params(cfg, jax.random.PRNGKey(seed))

@@ -1,0 +1,92 @@
+"""Experiment CLI — the reference's ``ex_maest.py`` Sacred driver rebuilt.
+
+Usage (Sacred-compatible syntax):
+
+    python -m maest_tpu.apps.ex_maest main with maest_30s_from_passt_pretrain \
+        trainer.max_epochs=2 datamodule.base_dir=/data/mels
+
+Commands (reference: ex_maest.py:72-238): main (train), test,
+extract_embeddings, extract_logits, model_speed_test, compute_norm_stats.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+
+from ..configs import build_experiment_config
+from ..train.loop import Trainer, compute_norm_stats, model_speed_test
+
+_logger = logging.getLogger("ex_maest")
+
+COMMANDS = (
+    "main",
+    "test",
+    "extract_embeddings",
+    "extract_logits",
+    "model_speed_test",
+    "compute_norm_stats",
+    "print_config",
+)
+
+
+def parse_argv(argv: list[str]) -> tuple[str, list[str], list[str]]:
+    """``<command> [with preset... key=value...]`` (Sacred CLI shape)."""
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("commands:", ", ".join(COMMANDS))
+        raise SystemExit(0)
+    command = argv[0] if argv[0] in COMMANDS else "main"
+    rest = argv[1:] if argv[0] in COMMANDS else argv
+    if rest and rest[0] == "with":
+        rest = rest[1:]
+    presets = [a for a in rest if "=" not in a]
+    overrides = [a for a in rest if "=" in a]
+    return command, presets, overrides
+
+
+def run(argv: list[str]) -> dict:
+    command, presets, overrides = parse_argv(argv)
+    cfg = build_experiment_config(presets, overrides)
+
+    if command == "print_config":
+        print(json.dumps(cfg, indent=2, default=str))
+        return cfg
+
+    if command == "model_speed_test":
+        specs = model_speed_test(cfg)
+        return {"specs_per_second": specs}
+
+    if command == "compute_norm_stats":
+        mean, std = compute_norm_stats(cfg)
+        print(f"mean={mean} std={std}")
+        return {"mean": mean, "std": std}
+
+    trainer = Trainer(cfg)
+    if command == "main":
+        return trainer.fit()
+    if command == "test":
+        if cfg.get("ckpt_path"):
+            trainer.restore_checkpoint(cfg["ckpt_path"])
+        res = trainer.test()
+        print(json.dumps(res, indent=2))
+        return res
+    if command in ("extract_embeddings", "extract_logits"):
+        if cfg.get("ckpt_path"):
+            trainer.restore_checkpoint(cfg["ckpt_path"])
+        output_name = command.split("_", 1)[1].rstrip("s")
+        output_name = {"embedding": "embeddings", "logit": "logits"}[output_name]
+        res = trainer.predict(output_name=output_name)
+        print(json.dumps(res, indent=2))
+        return res
+    raise SystemExit(f"unknown command {command}")
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""Mel-spectrogram chunk datasets.
+
+Feature-complete equivalent of the reference loaders
+(reference: discogs/dataset.py:26-318):
+
+  * groundtruth = pickle dict filename -> multi-hot target
+  * ``.mmap`` files are raw float16 (frames, n_bands) arrays read with
+    numpy memmap at a random (train) or fixed (exhaustive) frame offset
+  * ``.npy`` files are loaded whole, truncated or center-zero-padded
+  * exhaustive mode expands each file into consecutive windows with an
+    optional half-overlap hop and a 10% zero-pad margin
+  * teacher-student variants attach thresholded teacher activations
+
+Returned chunks are (n_bands, T) float16, channel-free; normalization,
+masking and mixup happen on-device inside the train step
+(maest_tpu/train/steps.py), not here.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import pickle
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+def load_groundtruth(path) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _center_pad(mel: np.ndarray, size: int, n_bands: int) -> np.ndarray:
+    """Zero-pad (frames, bands) up to ``size`` frames, centering the content
+    via roll (reference: discogs/dataset.py:75-87, 122-132)."""
+    pad = size - mel.shape[0]
+    if pad <= 0:
+        return mel[:size]
+    mel = np.vstack([mel, np.zeros([pad, n_bands], dtype="float16")])
+    return np.roll(mel, pad // 2, axis=0)
+
+
+@dataclass
+class DatasetConfig:
+    """Reference defaults (reference: discogs/dataset.py:15-23)."""
+
+    sample_rate: int = 16000
+    hop_size: int = 256
+    n_bands: int = 96
+    clip_length: int = 10  # seconds
+
+    @property
+    def melspectrogram_size(self) -> int:
+        return self.clip_length * self.sample_rate // self.hop_size
+
+
+class MelChunkDataset:
+    """Random-crop loader over memmap/npy mel files
+    (reference: discogs/dataset.py:26-140)."""
+
+    def __init__(self, groundtruth_file, base_dir, cfg: DatasetConfig,
+                 rng: Optional[np.random.Generator] = None):
+        self.base_dir = pathlib.Path(base_dir)
+        self.cfg = cfg
+        self.groundtruth = load_groundtruth(groundtruth_file)
+        self.filenames = list(self.groundtruth.keys())
+        self.rng = rng or np.random.default_rng()
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def _file_frames(self, path: pathlib.Path) -> int:
+        return path.stat().st_size // (2 * self.cfg.n_bands)
+
+    def load_melspectrogram(self, path: pathlib.Path,
+                            offset: Optional[int] = None) -> np.ndarray:
+        size = self.cfg.melspectrogram_size
+        n_bands = self.cfg.n_bands
+        if path.suffix == ".npy":
+            mel = np.load(path).astype("float16")
+            mel = _center_pad(mel, size, n_bands)
+        else:
+            frames_num = self._file_frames(path)
+            if offset is None:
+                max_frame = frames_num - size
+                offset = int(self.rng.integers(0, max(max_frame, 0) + 1))
+            skip = max(offset + size - frames_num, 0)
+            frames_to_read = size - skip
+            fp = np.memmap(
+                path, dtype="float16", mode="r",
+                shape=(frames_to_read, n_bands),
+                offset=offset * n_bands * 2,
+            )
+            mel = np.array(fp, dtype="float16")
+            del fp
+            if frames_to_read < size:
+                mel = _center_pad(mel, size, n_bands)
+        return mel.T  # (bands, time)
+
+    def __getitem__(self, index: int):
+        filename = self.filenames[index]
+        target = np.asarray(self.groundtruth[filename], dtype="float16")
+        mel = self.load_melspectrogram(self.base_dir / filename)
+        return {"x": mel, "filename": str(filename), "y": target}
+
+
+def _teacher_target(teacher_dir, filename, threshold: float) -> np.ndarray:
+    """Thresholded teacher activations with argmax fallback
+    (reference: discogs/dataset.py:177-192)."""
+    path = pathlib.Path(teacher_dir, str(filename) + ".logits.npy")
+    logits = np.load(path).astype("float32").squeeze()
+    acts = 1.0 / (1.0 + np.exp(-logits))
+    hard = (acts > threshold).astype("float16")
+    if not hard.sum():
+        hard = np.zeros(hard.shape, dtype="float16")
+        hard[int(np.argmax(acts))] = 1.0
+    return hard
+
+
+class MelChunkDatasetTS(MelChunkDataset):
+    """Teacher-student variant (reference: discogs/dataset.py:143-193)."""
+
+    def __init__(self, groundtruth_file, base_dir, cfg: DatasetConfig,
+                 teacher_target_base_dir, teacher_target_threshold: float = 0.45,
+                 rng=None):
+        super().__init__(groundtruth_file, base_dir, cfg, rng)
+        self.teacher_dir = teacher_target_base_dir
+        self.threshold = teacher_target_threshold
+
+    def __getitem__(self, index: int):
+        item = super().__getitem__(index)
+        item["y_teacher"] = _teacher_target(
+            self.teacher_dir, self.filenames[index], self.threshold
+        )
+        return item
+
+
+class ExhaustiveMelDataset(MelChunkDataset):
+    """Consecutive-window inference dataset
+    (reference: discogs/dataset.py:196-257)."""
+
+    def __init__(self, groundtruth_file, base_dir, cfg: DatasetConfig,
+                 half_overlapped_inference: bool = False, rng=None):
+        super().__init__(groundtruth_file, base_dir, cfg, rng)
+        size = cfg.melspectrogram_size
+        self.hop = size // 2 if half_overlapped_inference else size
+        self.half_overlap = half_overlapped_inference
+
+        entries: list[tuple[str, int]] = []
+        if self.filenames and pathlib.Path(self.filenames[0]).suffix == ".mmap":
+            for filename in self.filenames:
+                frames_num = self._file_frames(self.base_dir / filename)
+                if self.half_overlap:
+                    frames_num -= self.hop
+                n_patches = int((frames_num * 1.1) // self.hop)  # 10% margin
+                entries.extend((filename, i * self.hop) for i in range(n_patches))
+        else:
+            entries = [(f, 0) for f in self.filenames]
+        self.entries = entries
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, index: int):
+        filename, offset = self.entries[index]
+        target = np.asarray(self.groundtruth[filename], dtype="float16")
+        mel = self.load_melspectrogram(self.base_dir / filename, offset)
+        return {"x": mel, "filename": str(filename), "y": target}
+
+
+class ExhaustiveMelDatasetTS(ExhaustiveMelDataset):
+    """Exhaustive + teacher targets (reference: discogs/dataset.py:260-318)."""
+
+    def __init__(self, groundtruth_file, base_dir, cfg: DatasetConfig,
+                 teacher_target_base_dir, teacher_target_threshold: float = 0.45,
+                 half_overlapped_inference: bool = False, rng=None):
+        super().__init__(groundtruth_file, base_dir, cfg,
+                         half_overlapped_inference, rng)
+        self.teacher_dir = teacher_target_base_dir
+        self.threshold = teacher_target_threshold
+
+    def __getitem__(self, index: int):
+        item = super().__getitem__(index)
+        item["y_teacher"] = _teacher_target(
+            self.teacher_dir, item["filename"], self.threshold
+        )
+        return item

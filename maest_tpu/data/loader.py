@@ -1,0 +1,109 @@
+"""Batch assembly + device prefetch.
+
+Replaces the reference's 16-worker torch DataLoader (reference:
+discogs/datamodule.py:246-252) with a thread pool (numpy memmap reads
+release the GIL) and an async double-buffered device-put, so host IO
+overlaps TPU compute. When the native C++ reader is built
+(maest_tpu/data/_native), the per-item read path dispatches there.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def _collate(items: Sequence[dict]) -> dict:
+    batch = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if key == "filename":
+            batch[key] = vals
+        else:
+            batch[key] = np.stack(vals)
+    return batch
+
+
+class BatchLoader:
+    """Iterate index batches through a dataset with a thread pool."""
+
+    def __init__(self, dataset, batch_size: int, *, num_workers: int = 8,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+
+    def iter_indices(self, indices: Iterable[int]) -> Iterator[dict]:
+        indices = list(indices)
+        bs = self.batch_size
+        batches = [indices[i : i + bs] for i in range(0, len(indices), bs)]
+        if self.drop_last and batches and len(batches[-1]) < bs:
+            batches.pop()
+        if not batches:
+            return
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # pipeline: keep up to 2 batches in flight
+            pending = collections.deque()
+            it = iter(batches)
+
+            def submit_next():
+                try:
+                    idxs = next(it)
+                except StopIteration:
+                    return False
+                pending.append(pool.map(self.dataset.__getitem__, idxs))
+                return True
+
+            for _ in range(2):
+                if not submit_next():
+                    break
+            while pending:
+                items = list(pending.popleft())
+                submit_next()
+                yield _collate(items)
+
+    def __iter__(self) -> Iterator[dict]:
+        return self.iter_indices(range(len(self.dataset)))
+
+
+def device_prefetch(batches: Iterator[dict], sharding=None, size: int = 2,
+                    keys: Sequence[str] = ("x", "y", "y_teacher")) -> Iterator[dict]:
+    """Asynchronously move batches to device (double buffering).
+
+    Array values under ``keys`` are jax.device_put with ``sharding``;
+    other entries (filenames) pass through on host.
+    """
+    import jax
+
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in batches:
+                out = dict(batch)
+                for k in keys:
+                    if k in out:
+                        arr = np.asarray(out[k])
+                        out[k] = (
+                            jax.device_put(arr, sharding)
+                            if sharding is not None
+                            else jax.device_put(arr)
+                        )
+                q.put(out)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item

@@ -1,0 +1,58 @@
+"""Class-balanced weighted sampling with per-host sharding.
+
+Reference semantics (reference: discogs/datamodule.py:79-97, 154-209):
+  * per-sample weight = sum over positive labels of 1000 / (class_freq + offset)
+  * an epoch draws ``epoch_len`` indices, weighted, without replacement by
+    default (torch ``WeightedRandomSampler(replacement=False)``)
+  * seeded by ``seed + epoch`` so all replicas draw the identical sequence,
+    then each host takes the strided slice ``indices[rank::num_replicas]``.
+
+Weighted sampling without replacement uses the Gumbel top-k trick
+(equivalent to the Efraimidis-Spirakis scheme torch implements).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def class_balanced_weights(
+    targets: np.ndarray,
+    sample_weight_offset: float = 100.0,
+    sample_weight_sum: bool = True,
+) -> np.ndarray:
+    """Per-sample sampling weights (reference: discogs/datamodule.py:154-181)."""
+    all_y = np.asarray(targets, dtype=np.float64)
+    per_class = all_y.sum(axis=0, keepdims=True) + sample_weight_offset
+    per_class_weights = 1000.0 / per_class
+    all_weight = all_y * per_class_weights
+    if sample_weight_sum:
+        return all_weight.sum(axis=1)
+    return all_weight.max(axis=1)
+
+
+def weighted_epoch_indices(
+    weights: np.ndarray,
+    epoch_len: int,
+    *,
+    seed: int = 0,
+    epoch: int = 0,
+    replacement: bool = False,
+    rank: int = 0,
+    num_replicas: int = 1,
+) -> np.ndarray:
+    """Draw one epoch of weighted indices, sharded by rank."""
+    rng = np.random.default_rng(seed + epoch)
+    w = np.asarray(weights, dtype=np.float64)
+    n = len(w)
+    if replacement or epoch_len > n:
+        p = w / w.sum()
+        idx = rng.choice(n, size=epoch_len, replace=True, p=p)
+    else:
+        # Gumbel top-k == weighted sampling without replacement
+        gumbel = rng.gumbel(size=n)
+        keys = np.log(np.maximum(w, 1e-30)) + gumbel
+        idx = np.argpartition(-keys, epoch_len - 1)[:epoch_len]
+        idx = idx[np.argsort(-keys[idx])]
+    total = (len(idx) // num_replicas) * num_replicas if num_replicas > 1 else len(idx)
+    return idx[rank:total:num_replicas]

@@ -112,8 +112,17 @@ def build_config(
     drop_rate: float = 0.0,
     attn_drop_rate: float = 0.0,
     drop_path_rate: float = 0.0,
+    embed_dim: int = 768,
+    depth: int = 12,
+    num_heads: int = 12,
 ) -> MAESTConfig:
-    """Build the model config for an arch string (reference: models/maest.py:1467-1548)."""
+    """Build the model config for an arch string (reference: models/maest.py:1467-1548).
+
+    ``embed_dim``/``depth``/``num_heads`` default to the ViT-Base constants
+    shared by every shipped arch (reference: models/maest.py:1203); ``depth``
+    overrides cover the reference's ``lighten_model`` block removal
+    (reference: models/maest.py:1403-1438) and small test configs.
+    """
     if arch not in ARCHS:
         raise NotImplementedError(f"model {arch} not implemented")
     spec = ARCHS[arch]
@@ -128,9 +137,9 @@ def build_config(
         patch_size=16,
         stride=(stride_f, stride_t),
         in_chans=in_channels,
-        embed_dim=768,
-        depth=12,
-        num_heads=12,
+        embed_dim=embed_dim,
+        depth=depth,
+        num_heads=num_heads,
         num_classes=n_classes,
         distilled=True,
         distilled_type=distilled_type,

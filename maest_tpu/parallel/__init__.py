@@ -1,4 +1,5 @@
 from .mesh import (
+    ensure_on_mesh,
     batch_sharding,
     make_mesh,
     param_shardings,
@@ -8,6 +9,7 @@ from .mesh import (
 )
 
 __all__ = [
+    "ensure_on_mesh",
     "batch_sharding",
     "make_mesh",
     "param_shardings",

@@ -73,6 +73,20 @@ def shard_params(params, mesh: Mesh):
     return flax.traverse_util.unflatten_dict(out)
 
 
+def ensure_on_mesh(tree, mesh: Mesh):
+    """Replicate any leaf that is not already laid out on this mesh
+    (freshly-created scalars/optimizer counters default to one device)."""
+    devset = set(mesh.devices.flat)
+    rep = NamedSharding(mesh, P())
+
+    def fix(x):
+        if isinstance(x, jax.Array) and set(x.sharding.device_set) == devset:
+            return x
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(fix, tree)
+
+
 def param_shardings(params, mesh: Mesh):
     """Matching pytree of NamedShardings (for jit in/out shardings)."""
     import flax

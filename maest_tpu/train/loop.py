@@ -1,0 +1,487 @@
+"""Training/eval/predict loops.
+
+The TPU-native replacement for the reference's Lightning plumbing
+(reference: ex_maest.py:72-233, models/module.py:44-349): one jitted
+data-parallel step, host-side epoch orchestration, orbax checkpoints
+(best-on-val-loss + every-epoch, reference: models/module.py:256-264),
+SWA pytree averaging, sklearn macro AP/ROC, TensorBoard scalars.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..api import get_maest
+from ..data import (
+    BatchLoader,
+    DatasetConfig,
+    ExhaustiveMelDataset,
+    ExhaustiveMelDatasetTS,
+    MelChunkDataset,
+    MelChunkDatasetTS,
+    class_balanced_weights,
+    device_prefetch,
+    load_groundtruth,
+    weighted_epoch_indices,
+)
+from ..models.vit import MAESTNet
+from ..parallel.mesh import batch_sharding, make_mesh, shard_params
+from .metrics import gather_across_hosts, macro_ap_roc
+from .schedules import make_schedule
+from .state import TrainState, make_optimizer, swa_update
+from .steps import AugmentConfig, make_eval_step, make_predict_step, make_train_step
+
+_logger = logging.getLogger("maest_tpu.train")
+
+
+def _augment_config(cfg: dict) -> AugmentConfig:
+    dm = cfg["datamodule"]
+    return AugmentConfig(
+        normalize=dm["norm"]["do"],
+        norm_mean=dm["norm"]["norm_mean"],
+        norm_std=dm["norm"]["norm_std"],
+        masking=dm["masking"]["do"],
+        time_mask_param=dm["masking"]["time_mask_param"],
+        freq_mask_param=dm["masking"]["freq_mask_param"],
+        mask_p=dm["masking"]["p"],
+        time_masks=dm["masking"]["time_masks"],
+        freq_masks=dm["masking"]["freq_masks"],
+        mixup_alpha=cfg["module"]["mixup_alpha"],
+    )
+
+
+def _build_model(cfg: dict, dtype):
+    m = cfg["maest"]
+    wrapper = get_maest(
+        arch=m["arch"],
+        pretrained=m["pretrained"],
+        n_classes=m["n_classes"],
+        in_channels=m["in_channels"],
+        stride_f=m["stride_f"],
+        stride_t=m["stride_t"],
+        input_f=m["input_f"],
+        input_t=m["input_t"],
+        u_patchout=m["u_patchout"],
+        s_patchout_t=m["s_patchout_t"],
+        s_patchout_f=m["s_patchout_f"],
+        s_patchout_f_indices=tuple(m["s_patchout_f_indices"]),
+        s_patchout_f_interleaved=m["s_patchout_f_interleaved"],
+        s_patchout_t_indices=tuple(m["s_patchout_t_indices"]),
+        s_patchout_t_interleaved=m["s_patchout_t_interleaved"],
+        distilled_type=m["distilled_type"],
+        checkpoint=m["checkpoint"],
+        checkpoint_swa_weights=m["checkpoint_swa_weights"],
+        checkpoint_discard_head=m["checkpoint_discard_head"],
+        dtype=dtype,
+        seed=cfg.get("seed", 0),
+        embed_dim=m.get("embed_dim", 768),
+        depth=m.get("depth", 12),
+        num_heads=m.get("num_heads", 12),
+    )
+    return wrapper
+
+
+def _dataset_cfg(cfg: dict) -> DatasetConfig:
+    ds = cfg["dataset"]
+    return DatasetConfig(
+        sample_rate=ds["sample_rate"],
+        hop_size=ds["hop_size"],
+        n_bands=ds["n_bands"],
+        clip_length=cfg["datamodule"]["clip_length"],
+    )
+
+
+def _precision_dtype(precision: str):
+    return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+            "fp32": jnp.float32, "32": jnp.float32,
+            "16-mixed": jnp.bfloat16}[str(precision)]
+
+
+class Trainer:
+    """End-to-end pre-training driver (reference `main`, ex_maest.py:72-91)."""
+
+    def __init__(self, cfg: dict, run_dir: Optional[str] = None):
+        self.cfg = cfg
+        tr = cfg["trainer"]
+        self.dtype = _precision_dtype(tr["precision"])
+        self.mesh = make_mesh(tr["devices"], tr.get("model_parallel", 1))
+        self.n_data = self.mesh.shape["data"]
+        self.teacher_student = cfg["datamodule"]["teacher_student"]["do"]
+        self.aug = _augment_config(cfg)
+
+        wrapper = _build_model(cfg, self.dtype)
+        self.model_cfg = wrapper.cfg
+        self.net = MAESTNet(self.model_cfg, dtype=self.dtype)
+        params = wrapper.params
+
+        opt = cfg["module"]["optimizer"]
+        epoch_len = cfg["datamodule"]["sampler"]["epoch_len"]
+        self.global_batch = cfg["datamodule"]["batch_size_train"] * self.n_data
+        self.steps_per_epoch = max(1, epoch_len // self.global_batch)
+        if tr["limit_train_batches"]:
+            self.steps_per_epoch = min(self.steps_per_epoch, tr["limit_train_batches"])
+        schedule = make_schedule(
+            opt["schedule_mode"], opt["lr"], self.steps_per_epoch,
+            warm_up_len=opt["warm_up_len"],
+            ramp_down_start=opt["ramp_down_start"],
+            ramp_down_len=opt["ramp_down_len"],
+            last_lr_value=opt["last_lr_value"],
+        )
+        self.tx = make_optimizer(
+            lr_schedule=schedule, adamw=opt["adamw"],
+            weight_decay=opt["weight_decay"],
+        )
+
+        with self.mesh:
+            params = shard_params(params, self.mesh)
+            self.state = TrainState.create(params, self.tx)
+            # scalars/opt counters must live on the mesh, not device 0
+            from ..parallel.mesh import ensure_on_mesh
+
+            self.state = ensure_on_mesh(self.state, self.mesh)
+        self.train_step = make_train_step(
+            self.net, self.tx, self.aug, teacher_student=self.teacher_student
+        )
+        self.eval_step = make_eval_step(
+            self.net, self.aug, teacher_student=self.teacher_student,
+            with_swa=cfg["module"]["do_swa"],
+        )
+        self.batch_shard = batch_sharding(self.mesh)
+
+        self.run_dir = Path(run_dir or tr["default_root_dir"]) / time.strftime(
+            "%y%m%d-%H%M%S"
+        )
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        (self.run_dir / "config.json").write_text(
+            json.dumps(cfg, indent=2, default=str)
+        )
+        self._tb = None
+        self.epoch = 0
+
+    # -- logging -----------------------------------------------------------
+    @property
+    def tb(self):
+        if self._tb is None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.run_dir / "tb"))
+            except Exception:  # tensorboard optional
+                self._tb = _NullWriter()
+        return self._tb
+
+    # -- data ---------------------------------------------------------------
+    def _train_dataset(self):
+        dm = self.cfg["datamodule"]
+        ds_cfg = _dataset_cfg(self.cfg)
+        if self.teacher_student:
+            return MelChunkDatasetTS(
+                dm["groundtruth_train"], dm["base_dir"], ds_cfg,
+                teacher_target_base_dir=dm["teacher_student"]["teacher_target_base_dir"],
+                teacher_target_threshold=dm["teacher_student"]["teacher_target_threshold"],
+            )
+        return MelChunkDataset(dm["groundtruth_train"], dm["base_dir"], ds_cfg)
+
+    def _val_dataset(self):
+        dm = self.cfg["datamodule"]
+        base = dm["base_dir_val"] or dm["base_dir"]
+        return MelChunkDataset(dm["groundtruth_val"], base, _dataset_cfg(self.cfg))
+
+    def _epoch_indices(self, dataset, epoch: int) -> np.ndarray:
+        dm = self.cfg["datamodule"]
+        s = dm["sampler"]
+        targets = np.array([dataset.groundtruth[f] for f in dataset.filenames])
+        weights = class_balanced_weights(
+            targets, s["sample_weight_offset"], s["sample_weight_sum"]
+        )
+        return weighted_epoch_indices(
+            weights,
+            min(s["epoch_len"], self.steps_per_epoch * self.global_batch),
+            seed=self.cfg.get("seed", 0),
+            epoch=epoch,
+            replacement=s["sampler_replace"],
+            rank=jax.process_index(),
+            num_replicas=jax.process_count(),
+        )
+
+    # -- checkpointing -------------------------------------------------------
+    def save_checkpoint(self, tag: str):
+        import orbax.checkpoint as ocp
+
+        path = (self.run_dir / "checkpoints" / tag).absolute()
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, dict(
+                params=self.state.params,
+                opt_state=self.state.opt_state,
+                swa_params=self.state.swa_params,
+                swa_n=self.state.swa_n,
+                step=self.state.step,
+            ), force=True)
+        (self.run_dir / "checkpoints" / f"{tag}.meta.json").write_text(
+            json.dumps({"epoch": self.epoch})
+        )
+
+    def restore_checkpoint(self, path: str):
+        import orbax.checkpoint as ocp
+
+        target = dict(
+            params=self.state.params,
+            opt_state=self.state.opt_state,
+            swa_params=self.state.swa_params,
+            swa_n=self.state.swa_n,
+            step=self.state.step,
+        )
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(Path(path).absolute(), target)
+        self.state = TrainState(
+            step=restored["step"],
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            swa_params=restored["swa_params"],
+            swa_n=restored["swa_n"],
+        )
+        meta = Path(path).parent / (Path(path).name + ".meta.json")
+        if meta.exists():
+            self.epoch = json.loads(meta.read_text()).get("epoch", 0)
+
+    # -- loops ---------------------------------------------------------------
+    def fit(self):
+        cfg = self.cfg
+        tr = cfg["trainer"]
+        mod = cfg["module"]
+        if cfg.get("ckpt_path"):
+            self.restore_checkpoint(cfg["ckpt_path"])
+            _logger.info("resumed from %s at epoch %d", cfg["ckpt_path"], self.epoch)
+
+        train_ds = self._train_dataset()
+        loader = BatchLoader(
+            train_ds, cfg["datamodule"]["batch_size_train"] * self.n_data,
+            num_workers=cfg["datamodule"]["num_workers"], drop_last=True,
+        )
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        best_val = float("inf")
+
+        with self.mesh:
+            while self.epoch < tr["max_epochs"]:
+                t0 = time.time()
+                idx = self._epoch_indices(train_ds, self.epoch)
+                n_steps = 0
+                last = {}
+                for batch in device_prefetch(
+                    loader.iter_indices(idx), self.batch_shard
+                ):
+                    rng, step_rng = jax.random.split(rng)
+                    self.state, metrics = self.train_step(
+                        self.state, _step_batch(batch), step_rng
+                    )
+                    n_steps += 1
+                    if n_steps % tr["log_every_n_steps"] == 0:
+                        last = {k: float(v) for k, v in metrics.items()}
+                        step = int(self.state.step)
+                        for k, v in last.items():
+                            self.tb.add_scalar(k, v, step)
+                    if tr["limit_train_batches"] and n_steps >= tr["limit_train_batches"]:
+                        break
+                # SWA (reference: helpers/swa_callback.py:9-15; start epoch
+                # models/module.py:25)
+                if mod["do_swa"] and self.epoch >= mod["swa_epoch_start"]:
+                    self.state = swa_update(self.state)
+
+                val = self.validate()
+                dt = time.time() - t0
+                _logger.info(
+                    "epoch %d: %d steps in %.1fs train=%s val=%s",
+                    self.epoch, n_steps, dt, last, val,
+                )
+                for k, v in val.items():
+                    self.tb.add_scalar(k, v, self.epoch)
+
+                self.save_checkpoint(f"epoch-{self.epoch}")
+                if val.get("val_loss", float("inf")) < best_val:
+                    best_val = val["val_loss"]
+                    self.save_checkpoint("best")
+                self.epoch += 1
+        return {"done": True}
+
+    def _run_eval(self, dataset, stage: str) -> dict:
+        cfg = self.cfg
+        tr = cfg["trainer"]
+        loader = BatchLoader(
+            dataset, cfg["datamodule"]["batch_size_test"],
+            num_workers=cfg["datamodule"]["num_workers"],
+        )
+        ys, outs, n = [], {}, 0
+        batches = _pad_batches(iter(loader), self.n_data)
+        for batch in device_prefetch(batches, self.batch_shard):
+            n_true = batch["_n"]
+            res = self.eval_step(self.state, _step_batch(batch))
+            ys.append(np.asarray(batch["y"], np.float32)[:n_true])
+            for name, r in res.items():
+                outs.setdefault(name, []).append(
+                    np.asarray(r["y_hat"], np.float32)[:n_true]
+                )
+            n += 1
+            if tr["limit_val_batches"] and n >= tr["limit_val_batches"]:
+                break
+        if not ys:
+            return {}
+        y = gather_across_hosts(np.concatenate(ys))
+        metrics = {}
+        for name, chunks in outs.items():
+            suffix = f"_{name}" if name else ""
+            y_hat = gather_across_hosts(np.concatenate(chunks))
+            # BCE from activations (equals BCE-with-logits on the same rows)
+            p = np.clip(y_hat, 1e-7, 1 - 1e-7)
+            loss = float(-np.mean(y * np.log(p) + (1 - y) * np.log(1 - p)))
+            ap, roc = macro_ap_roc(y, y_hat)
+            metrics[f"{stage}_loss{suffix}"] = loss
+            metrics[f"{stage}_ap{suffix}"] = ap
+            metrics[f"{stage}_roc{suffix}"] = roc
+        return metrics
+
+    def validate(self) -> dict:
+        return self._run_eval(self._val_dataset(), "val")
+
+    def test(self) -> dict:
+        dm = self.cfg["datamodule"]
+        ds = ExhaustiveMelDataset(
+            dm["groundtruth_test"], dm["base_dir"], _dataset_cfg(self.cfg),
+            half_overlapped_inference=self.cfg["dataset"]["half_overlapped_inference"],
+        )
+        return self._run_eval(ds, "test")
+
+    # -- prediction / embedding extraction ------------------------------------
+    def predict(self, output_name: str = "embeddings") -> dict:
+        """Exhaustive-window prediction, aggregated per file and written as
+        .npy (reference: ex_maest.py:162-207)."""
+        cfg = self.cfg
+        dm = cfg["datamodule"]
+        ds_cfg = _dataset_cfg(cfg)
+        ds = ExhaustiveMelDataset(
+            dm["groundtruth_predict"], dm["base_dir"], ds_cfg,
+            half_overlapped_inference=cfg["dataset"]["half_overlapped_inference"],
+        )
+        loader = BatchLoader(ds, dm["batch_size_test"],
+                             num_workers=dm["num_workers"])
+        predict_step = make_predict_step(self.net, self.aug)
+        block = cfg["predict"]["transformer_block"]
+
+        agg: dict[str, list] = {}
+        with self.mesh:
+            batches = _pad_batches(iter(loader), self.n_data)
+            for batch in device_prefetch(batches, self.batch_shard):
+                out = predict_step(self.state.params, _step_batch(batch), block)
+                n_true = batch["_n"]
+                vals = np.asarray(out[output_name], np.float32)[:n_true]
+                for fname, v in zip(batch["filename"][:n_true], vals):
+                    agg.setdefault(fname, []).append(v)
+
+        out_dir = self._predict_out_dir()
+        for fname, vs in agg.items():
+            path = out_dir / (fname + f".{output_name}.npy")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            np.save(path, np.array(vs))
+        return {"n_files": len(agg), "out_dir": str(out_dir)}
+
+    def _predict_out_dir(self) -> Path:
+        """Output dir naming incl. deterministic-patchout tags
+        (reference: ex_maest.py:186-201)."""
+        cfg = self.cfg
+        subdir1 = f"{cfg['datamodule']['clip_length']}sec"
+        subdir2 = ""
+        for po_dim in ("f", "t"):
+            for po_type in ("indices", "interleaved"):
+                val = cfg["maest"][f"s_patchout_{po_dim}_{po_type}"]
+                if val:
+                    tag = "_".join(np.array(val).astype("str")) if np.iterable(val) \
+                        else str(val)
+                    subdir2 += f"_patchout_{po_dim}_{po_type}" + tag
+        subdir3 = str(cfg["predict"]["transformer_block"])
+        return Path(cfg["predict"]["out_dir"]) / subdir1 / subdir2 / subdir3
+
+
+def _step_batch(batch: dict) -> dict:
+    return {k: v for k, v in batch.items() if k not in ("filename", "_n")}
+
+
+def _pad_batches(batches, multiple: int):
+    """Pad trailing batches to a multiple of the data-axis size (padded rows
+    repeat the last sample and are sliced off on host via ``_n``)."""
+    for batch in batches:
+        b = batch["x"].shape[0]
+        pad = (-b) % multiple
+        if pad:
+            batch = dict(batch)
+            for k, v in list(batch.items()):
+                if k == "filename":
+                    batch[k] = list(v) + [v[-1]] * pad
+                else:
+                    batch[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+        batch["_n"] = b
+        yield batch
+
+
+class _NullWriter:
+    def add_scalar(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+def compute_norm_stats(cfg: dict) -> tuple[float, float]:
+    """Dataset mean/std over raw log-mel values (fixes the reference's broken
+    ``compute_norm_stats``, ex_maest.py:220-233)."""
+    dm = cfg["datamodule"]
+    ds = MelChunkDataset(dm["groundtruth_train"], dm["base_dir"], _dataset_cfg(cfg))
+    loader = BatchLoader(ds, dm["batch_size_test"], num_workers=dm["num_workers"])
+    means, stds = [], []
+    for batch in loader:
+        x = batch["x"].astype(np.float64)
+        means.append(x.mean())
+        stds.append(x.std())
+    return float(np.mean(means)), float(np.mean(stds))
+
+
+def model_speed_test(cfg: dict, batch_size: int = 100, test_length: int = 100
+                     ) -> float:
+    """AMP train-step throughput in specs/second on a synthetic batch
+    (reference: ex_maest.py:108-159). Input geometry follows the model config
+    rather than the reference's hardcoded [100, 1, 128, 998]."""
+    dtype = _precision_dtype(cfg["trainer"]["precision"])
+    wrapper = _build_model(cfg, dtype)
+    net = MAESTNet(wrapper.cfg, dtype=dtype)
+    tx = make_optimizer(lr_schedule=1e-3, adamw=False)
+    aug = _augment_config(cfg)
+    step = make_train_step(net, tx, aug)
+    state = TrainState.create(wrapper.params, tx)
+
+    f, t = wrapper.cfg.img_size
+    nc = wrapper.cfg.num_classes
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((batch_size, f, t), dtype=np.float32)),
+        "y": jnp.asarray((rng.random((batch_size, nc)) > 0.9).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(0)
+    for i in range(10):  # warmup
+        key, k = jax.random.split(key)
+        state, m = step(state, batch, k)
+    jax.block_until_ready(m["train_loss"])
+    t0 = time.time()
+    for i in range(test_length):
+        key, k = jax.random.split(key)
+        state, m = step(state, batch, k)
+    jax.block_until_ready(m["train_loss"])
+    dt = time.time() - t0
+    specs_per_s = test_length * batch_size / dt
+    print(f"average speed: {specs_per_s:.1f} specs/second")
+    return specs_per_s

@@ -31,7 +31,9 @@ class TrainState:
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
-            swa_params=jax.tree.map(jnp.asarray, params),
+            # distinct buffers: the state is donated to the train step, and
+            # aliasing params would donate the same buffer twice
+            swa_params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
             swa_n=jnp.zeros((), jnp.int32),
         )
 

@@ -1,0 +1,131 @@
+"""Data pipeline tests: memmap/npy loading, chunking, sampling, loader."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from maest_tpu.data import (
+    BatchLoader,
+    DatasetConfig,
+    ExhaustiveMelDataset,
+    MelChunkDataset,
+    MelChunkDatasetTS,
+    class_balanced_weights,
+    weighted_epoch_indices,
+)
+
+CFG = DatasetConfig(clip_length=2)  # 2 s -> 125 frames
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mels")
+    rng = np.random.default_rng(0)
+    gt = {}
+    # three mmap files of varying length: longer, exact, shorter than window
+    for name, frames in [("a.mmap", 400), ("b.mmap", 125), ("c.mmap", 60)]:
+        arr = rng.standard_normal((frames, 96)).astype("float16")
+        arr.tofile(root / name)
+        gt[name] = (rng.random(8) > 0.5).astype("float16")
+    # one npy file (frames, bands)
+    arr = rng.standard_normal((80, 96)).astype("float16")
+    np.save(root / "d.npy", arr)
+    gt["d.npy"] = (rng.random(8) > 0.5).astype("float16")
+    gt_path = root / "gt.pk"
+    with open(gt_path, "wb") as f:
+        pickle.dump(gt, f)
+    return root, gt_path
+
+
+def test_random_crop_shapes(corpus):
+    root, gt = corpus
+    ds = MelChunkDataset(gt, root, CFG, rng=np.random.default_rng(1))
+    for i in range(len(ds)):
+        item = ds[i]
+        assert item["x"].shape == (96, 125)
+        assert item["x"].dtype == np.float16
+        assert item["y"].shape == (8,)
+
+
+def test_short_file_center_padded(corpus):
+    root, gt = corpus
+    ds = MelChunkDataset(gt, root, CFG, rng=np.random.default_rng(1))
+    idx = ds.filenames.index("c.mmap")
+    x = ds[idx]["x"]  # 60 real frames in a 125 window, centered
+    pad = 125 - 60
+    lead = pad // 2
+    assert (x[:, :lead] == 0).all()
+    assert (x[:, lead + 60 :] == 0).all()
+    assert (x[:, lead : lead + 60] != 0).any()
+
+
+def test_exhaustive_expansion(corpus):
+    root, gt = corpus
+    ds = ExhaustiveMelDataset(gt, root, CFG)
+    names = [f for f, _ in ds.entries]
+    # a.mmap: 400 frames * 1.1 // 125 = 3 windows
+    assert names.count("a.mmap") == 3
+    offsets = [o for f, o in ds.entries if f == "a.mmap"]
+    assert offsets == [0, 125, 250]
+    item = ds[0]
+    assert item["x"].shape == (96, 125)
+
+
+def test_exhaustive_half_overlap(corpus):
+    root, gt = corpus
+    ds = ExhaustiveMelDataset(gt, root, CFG, half_overlapped_inference=True)
+    offsets = [o for f, o in ds.entries if f == "a.mmap"]
+    assert offsets[:3] == [0, 62, 124]
+
+
+def test_teacher_targets(corpus, tmp_path):
+    root, gt = corpus
+    rng = np.random.default_rng(2)
+    for name in ["a.mmap", "b.mmap", "c.mmap", "d.npy"]:
+        np.save(tmp_path / (name + ".logits.npy"),
+                rng.standard_normal(8).astype("float32") * 3)
+    ds = MelChunkDatasetTS(gt, root, CFG, teacher_target_base_dir=tmp_path,
+                           rng=np.random.default_rng(1))
+    item = ds[0]
+    yt = item["y_teacher"]
+    assert yt.shape == (8,)
+    assert set(np.unique(yt)).issubset({0.0, 1.0})
+    assert yt.sum() >= 1  # argmax fallback guarantees at least one positive
+
+
+def test_class_balanced_weights():
+    y = np.array([[1, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
+    w = class_balanced_weights(y, sample_weight_offset=0)
+    # class freqs: 3, 2 -> weights 1000/3, 1000/2
+    np.testing.assert_allclose(w, [1000 / 3, 1000 / 3, 1000 / 3 + 500, 500])
+
+
+def test_weighted_indices_sharded_and_deterministic():
+    w = np.ones(100)
+    a0 = weighted_epoch_indices(w, 40, seed=7, epoch=3, rank=0, num_replicas=2)
+    a1 = weighted_epoch_indices(w, 40, seed=7, epoch=3, rank=1, num_replicas=2)
+    b0 = weighted_epoch_indices(w, 40, seed=7, epoch=3, rank=0, num_replicas=2)
+    assert len(a0) == len(a1) == 20
+    assert not set(a0) & set(a1)  # disjoint shards
+    np.testing.assert_array_equal(a0, b0)  # deterministic
+    # without replacement: no duplicates
+    full = weighted_epoch_indices(w, 40, seed=7, epoch=3)
+    assert len(set(full.tolist())) == 40
+
+
+def test_weighted_indices_respects_weights():
+    w = np.zeros(50)
+    w[:10] = 1.0
+    idx = weighted_epoch_indices(w, 10, seed=0, epoch=0)
+    assert set(idx.tolist()).issubset(set(range(10)))
+
+
+def test_batch_loader(corpus):
+    root, gt = corpus
+    ds = MelChunkDataset(gt, root, CFG, rng=np.random.default_rng(1))
+    loader = BatchLoader(ds, batch_size=3, num_workers=2)
+    batches = list(loader)
+    assert batches[0]["x"].shape == (3, 96, 125)
+    assert batches[1]["x"].shape == (1, 96, 125)
+    assert len(batches[0]["filename"]) == 3

@@ -1,0 +1,124 @@
+"""End-to-end CLI smoke tests on a tiny synthetic corpus (8-device CPU mesh).
+
+Exercises the full ex_maest-equivalent pipeline: config presets + overrides,
+weighted sampling, memmap loading, on-device augmentation, jitted DP train
+step, SWA, eval metrics, orbax checkpointing, resume, and embedding
+extraction — coverage the reference never had (SURVEY.md §4).
+"""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from maest_tpu.apps.ex_maest import parse_argv, run
+from maest_tpu.configs import build_experiment_config
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    gt = {}
+    for i in range(10):
+        name = f"clip{i}.mmap"
+        frames = int(rng.integers(70, 200))
+        rng.standard_normal((frames, 96)).astype("float16").tofile(root / name)
+        y = (rng.random(8) > 0.6).astype("float16")
+        y[i % 8] = 1.0  # every class has support
+        gt[name] = y
+    for split in ("train", "val", "test"):
+        with open(root / f"gt_{split}.pk", "wb") as f:
+            pickle.dump(gt, f)
+    return root
+
+
+def _overrides(corpus, tmp_path, extra=()):
+    return [
+        f"datamodule.base_dir={corpus}",
+        f"datamodule.groundtruth_train={corpus}/gt_train.pk",
+        f"datamodule.groundtruth_val={corpus}/gt_val.pk",
+        f"datamodule.groundtruth_test={corpus}/gt_test.pk",
+        f"datamodule.groundtruth_predict={corpus}/gt_val.pk",
+        "datamodule.clip_length=1",
+        "datamodule.batch_size_train=2",
+        "datamodule.batch_size_test=3",
+        "datamodule.num_workers=2",
+        "datamodule.sampler.epoch_len=8",
+        "maest.n_classes=8",
+        "maest.input_t=62",
+        "maest.embed_dim=64",
+        "maest.depth=2",
+        "maest.num_heads=4",
+        "maest.s_patchout_t=1",
+        "trainer.max_epochs=2",
+        "trainer.devices=2",
+        "trainer.precision=fp32",
+        "trainer.limit_val_batches=2",
+        "module.swa_epoch_start=0",
+        "module.optimizer.warm_up_len=1",
+        f"trainer.default_root_dir={tmp_path}/exp_logs",
+        f"predict.out_dir={tmp_path}/exp_out",
+        "predict.transformer_block=1",
+    ] + list(extra)
+
+
+def test_parse_argv():
+    cmd, presets, ovs = parse_argv(
+        ["main", "with", "mini_train", "trainer.max_epochs=1"]
+    )
+    assert cmd == "main"
+    assert presets == ["mini_train"]
+    assert ovs == ["trainer.max_epochs=1"]
+
+
+def test_presets_match_reference():
+    cfg = build_experiment_config(["maest_30s_from_passt_pretrain"])
+    assert cfg["maest"]["input_t"] == 30 * 16000 // 256 == 1875
+    assert cfg["maest"]["s_patchout_t"] == 90
+    cfg = build_experiment_config(["maest_10s_from_passt_inference"])
+    assert cfg["maest"]["arch"] == "discogs-maest-10s-pw-129e"
+    assert cfg["predict"]["transformer_block"] == 7
+
+
+def test_train_and_resume(corpus, tmp_path):
+    res = run(["main", "with"] + _overrides(corpus, tmp_path))
+    assert res == {"done": True}
+    # a run dir with checkpoints and config exists
+    runs = sorted((tmp_path / "exp_logs").iterdir())
+    assert runs
+    ckpts = runs[-1] / "checkpoints"
+    assert (ckpts / "best").exists()
+    assert (ckpts / "epoch-0").exists() and (ckpts / "epoch-1").exists()
+    cfg_json = json.loads((runs[-1] / "config.json").read_text())
+    assert cfg_json["maest"]["depth"] == 2
+
+    # resume from epoch-0 and train one more epoch
+    res = run(
+        ["main", "with"]
+        + _overrides(corpus, tmp_path, [f"ckpt_path={ckpts}/epoch-0"])
+    )
+    assert res == {"done": True}
+
+
+def test_extract_embeddings(corpus, tmp_path):
+    res = run(["extract_embeddings", "with"] + _overrides(corpus, tmp_path))
+    assert res["n_files"] == 10
+    out_dir = tmp_path / "exp_out" / "1sec" / "" / "1"
+    files = list(out_dir.glob("*.embeddings.npy"))
+    assert len(files) == 10
+    emb = np.load(files[0])
+    # (n_windows, 3*embed_dim)
+    assert emb.ndim == 2 and emb.shape[1] == 3 * 64
+
+
+def test_test_command(corpus, tmp_path, capsys):
+    res = run(["test", "with"] + _overrides(corpus, tmp_path))
+    assert "test_loss" in res and "test_ap" in res
+    assert 0.0 <= res["test_ap"] <= 1.0
+
+
+def test_compute_norm_stats(corpus, tmp_path):
+    res = run(["compute_norm_stats", "with"] + _overrides(corpus, tmp_path))
+    assert np.isfinite(res["mean"]) and np.isfinite(res["std"])

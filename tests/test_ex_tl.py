@@ -1,0 +1,73 @@
+"""Downstream probe (ex_tl equivalent) end-to-end on synthetic embeddings."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from maest_tpu.apps.ex_tl import (
+    default_config,
+    postprocess_embedding,
+    tl_pipeline,
+)
+
+
+def test_postprocess_embedding_parts():
+    emb = np.arange(4 * 3 * 8, dtype="float32").reshape(4, 24)  # 4 chunks, 3x8
+    mean = emb.mean(axis=0).reshape(3, 8)
+    out = postprocess_embedding(emb, types="c", reduce="mean")
+    np.testing.assert_allclose(out, mean[0])
+    out = postprocess_embedding(emb, types="cd", reduce="stack")
+    np.testing.assert_allclose(out, np.hstack([mean[0], mean[1]]))
+    out = postprocess_embedding(emb, types="cdt", reduce="mean")
+    np.testing.assert_allclose(out, mean.mean(axis=0))
+
+
+@pytest.fixture(scope="module")
+def embedding_corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tl")
+    emb_dir = root / "emb"
+    emb_dir.mkdir()
+    rng = np.random.default_rng(0)
+    n_classes, token = 6, 16
+    # two latent clusters so the probe has signal to learn
+    protos = rng.standard_normal((2, 3 * token)).astype("float32") * 2
+    gts = {"train": {}, "validation": {}, "test": {}}
+    for split, n in [("train", 40), ("validation", 16), ("test", 16)]:
+        for i in range(n):
+            cls = i % 2
+            name = f"{split}{i}.mp3"
+            emb = protos[cls] + rng.standard_normal((3, 3 * token)).astype(
+                "float32"
+            ) * 0.3
+            np.save(emb_dir / (name + ".embeddings.npy"), emb)
+            y = np.zeros(n_classes, dtype="float32")
+            y[cls::2] = 1.0
+            gts[split][name] = y
+    for split, gt in gts.items():
+        with open(root / f"groundtruth-{split}.pk", "wb") as f:
+            pickle.dump(gt, f)
+    return root, emb_dir, n_classes, token
+
+
+def test_tl_pipeline_learns(embedding_corpus):
+    root, emb_dir, n_classes, token = embedding_corpus
+    cfg = default_config()
+    cfg["trainer"]["max_epochs"] = 8
+    cfg["optimizer"]["max_epochs"] = 8
+    cfg["optimizer"]["warmup_epochs"] = 1
+    cfg["optimizer"]["max_lr"] = 1e-2
+    cfg["optimizer"]["max_lr_epochs"] = 2
+    cfg["model"]["hidden_units"] = 32
+    cfg["data"].update(
+        base_dir=str(emb_dir),
+        metadata_dir=str(root),
+        batch_size=8,
+        types="c",
+        reduce="mean",
+        token_size=token,
+        n_classes=n_classes,
+    )
+    res = tl_pipeline(cfg)
+    assert res["test_roc"] > 0.9  # separable synthetic task
+    assert 0 <= res["test_ap"] <= 1
