@@ -47,6 +47,11 @@ class MAESTConfig:
     s_patchout_t_indices: tuple[int, ...] = ()
     s_patchout_t_interleaved: int = 0
 
+    # experimental per-frequency-row patch embedding (reference:
+    # models/maest.py:259-343): each of the grid_f patch rows gets its own
+    # projection. Enabled via fix_embedding_layer(embed="freq_embed").
+    per_freq_patch_embed: bool = False
+
     # numerics
     layer_norm_eps: float = 1e-6
     # attention implementation: "auto" picks the Pallas flash kernel on TPU

@@ -177,6 +177,7 @@ class MAESTNet(nn.Module):
         train: bool = False,
         transformer_block: int = -1,
         return_self_attention: bool = False,
+        return_layer_tokens: bool = False,
     ):
         cfg = self.cfg
         eps = cfg.layer_norm_eps
@@ -184,14 +185,17 @@ class MAESTNet(nn.Module):
 
         # --- patch embedding (reference: models/maest.py:214-256) ---
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            cfg.embed_dim,
-            kernel_size=(cfg.patch_size, cfg.patch_size),
-            strides=cfg.stride,
-            padding="VALID",
-            dtype=self.dtype,
-            name="patch_embed_proj",
-        )(x)  # (B, F', T', E)
+        if cfg.per_freq_patch_embed:
+            x = self._per_freq_patch_embed(x)
+        else:
+            x = nn.Conv(
+                cfg.embed_dim,
+                kernel_size=(cfg.patch_size, cfg.patch_size),
+                strides=cfg.stride,
+                padding="VALID",
+                dtype=self.dtype,
+                name="patch_embed_proj",
+            )(x)  # (B, F', T', E)
         _, f_dim, t_dim, _ = x.shape
 
         # --- decoupled positional embeddings (reference: models/maest.py:522-530,
@@ -328,14 +332,23 @@ class MAESTNet(nn.Module):
         ]
 
         if transformer_block == -1:
+            # per-layer token taps feed the TF SavedModel export, which
+            # exposes ``layer_{0..11}_tokens`` outputs (reference:
+            # packaging/onnx_to_tf.sh graph surgery)
+            layer_tokens = []
             for blk in blocks:
                 x = blk(x, deterministic=not train)
+                if return_layer_tokens:
+                    layer_tokens.append(x)
             x = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="norm")(x)
             if cfg.distilled:
                 feats = (x[:, 0], x[:, 1])
             else:
                 feats = x[:, 0]
-            return self._heads(feats)
+            out = self._heads(feats)
+            if return_layer_tokens:
+                return out + (tuple(layer_tokens),)
+            return out
 
         # embedding tap (reference: models/maest.py:811-829)
         for i, blk in enumerate(blocks):
@@ -351,6 +364,39 @@ class MAESTNet(nn.Module):
         dist_out = x[:, 1, :]
         mean_out = jnp.mean(x[:, 2:, :], axis=1)
         return None, jnp.concatenate([cls_out, dist_out, mean_out], axis=1)
+
+    def _per_freq_patch_embed(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Per-frequency-row patch projection (reference: models/maest.py:259-343).
+
+        The reference runs one Conv2d per patch row; the TPU formulation
+        extracts all (P, P) patches once and contracts each row against its
+        own (C*P*P, E) matrix in a single batched einsum — one MXU-shaped
+        matmul instead of grid_f narrow convolutions.
+        """
+        cfg = self.cfg
+        p = cfg.patch_size
+        b, f_in, t_in, c = x.shape
+        grid_f = (f_in - p) // cfg.stride[0] + 1
+        patches = jax.lax.conv_general_dilated_patches(
+            x,
+            filter_shape=(p, p),
+            window_strides=cfg.stride,
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, F', T', C*P*P), feature order (c, h, w)
+        w = self.param(
+            "patch_embed_freq_kernel",
+            nn.initializers.lecun_normal(),
+            (grid_f, c * p * p, cfg.embed_dim),
+        )
+        bias = self.param(
+            "patch_embed_freq_bias", nn.initializers.zeros, (grid_f, cfg.embed_dim)
+        )
+        out = jnp.einsum(
+            "bftk,fke->bfte", patches.astype(self.dtype), w.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        return out + bias[None, :, None, :].astype(self.dtype)
 
     def _heads(self, feats):
         """Classifier heads (reference: models/maest.py:570-582, 905-933)."""

@@ -31,13 +31,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, n_real: int):
     q_ref: (block_q, d); k_ref/v_ref: (n_pad, d); out_ref: (block_q, d).
     Keys >= n_real are masked out (sequence padding).
     """
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    # Matmul inputs stay in the input dtype (bf16) so the MXU runs at full
+    # rate; accumulation and softmax run in fp32 (preferred_element_type).
+    q = q_ref[0]
+    k = k_ref[0]
     n_pad = k.shape[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (block_q, n_pad)
+    ) * scale  # (block_q, n_pad) fp32
 
     if n_real < n_pad:
         key_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -46,10 +48,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float, n_real: int):
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
+    p = (p / denom).astype(v_ref.dtype)
 
-    v = v_ref[0].astype(jnp.float32)
-    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    out = jnp.dot(p, v_ref[0], preferred_element_type=jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
