@@ -13,6 +13,12 @@ same workload, documented here so the ratio is reproducible:
     total        ~= 0.40 TFLOP / clip
   H100 SXM bf16 dense peak 989.5 TFLOP/s at 50% MFU -> ~495 TFLOP/s
     -> ~1240 clips/s -> ~37,200 audio-sec/s.
+
+Measurement notes (axon TPU relay): execution is lazy on the remote —
+``block_until_ready`` alone does not wait for completion, so each timed
+step chains on the previous step's output and the loop is closed with a
+scalar fetch, which forces the whole chain. Dispatch overhead (~2 ms) is
+<2% of a step. Implied FLOP/s is sanity-checked against the v5e peak.
 """
 
 from __future__ import annotations
@@ -24,8 +30,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
+
 H100_BASELINE_AUDIO_SEC_PER_S = 37200.0
 CLIP_SECONDS = 30.0
+FLOP_PER_CLIP = 0.40e12
 
 
 def main():
@@ -35,7 +44,9 @@ def main():
     cfg = build_config("discogs-maest-30s-pw-129e")
     net = MAESTNet(cfg, dtype=jnp.bfloat16)
     params = init_params(cfg, jax.random.PRNGKey(0))
-    params = jax.device_put(params)
+    params = jax.device_put(
+        jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    )
 
     batch = 32
 
@@ -49,19 +60,32 @@ def main():
         rng.standard_normal((batch, 96, 1875), dtype=np.float32), jnp.bfloat16
     )
 
-    # warmup + sanity: outputs must depend on inputs
-    out = jax.block_until_ready(forward(params, x))
-    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # warmup + sanity: outputs must be finite and input-dependent
+    out = np.asarray(forward(params, x), np.float32)
+    assert np.isfinite(out).all()
+    out2 = np.asarray(forward(params, x * 1.5), np.float32)
+    assert not np.allclose(out, out2)
 
     iters = 30
     t0 = time.perf_counter()
+    o = x
+    logits = None
     for _ in range(iters):
-        out = forward(params, x)
-    jax.block_until_ready(out)
+        logits = forward(params, o)
+        # chain: next input depends on this step's output, so the final
+        # fetch forces every step to have executed
+        o = x + (1e-6 * logits[0, 0]).astype(x.dtype)
+    _ = float(logits[0, 0])
     t1 = time.perf_counter()
 
     sec_per_step = (t1 - t0) / iters
     audio_sec_per_s = batch * CLIP_SECONDS / sec_per_step
+
+    implied_tflops = batch * FLOP_PER_CLIP / sec_per_step / 1e12
+    assert implied_tflops < 400, (
+        f"implied {implied_tflops:.0f} TFLOP/s exceeds v5e peak - "
+        "timing did not force execution"
+    )
 
     print(
         json.dumps(

@@ -85,18 +85,31 @@ class MelChunkDataset:
             if offset is None:
                 max_frame = frames_num - size
                 offset = int(self.rng.integers(0, max(max_frame, 0) + 1))
-            skip = max(offset + size - frames_num, 0)
-            frames_to_read = size - skip
-            fp = np.memmap(
-                path, dtype="float16", mode="r",
-                shape=(frames_to_read, n_bands),
-                offset=offset * n_bands * 2,
-            )
-            mel = np.array(fp, dtype="float16")
-            del fp
-            if frames_to_read < size:
-                mel = _center_pad(mel, size, n_bands)
+            mel = self._read_chunk(path, offset, frames_num)
         return mel.T  # (bands, time)
+
+    def _read_chunk(self, path: pathlib.Path, offset: int,
+                    frames_num: int) -> np.ndarray:
+        """Raw-memmap chunk read; native pread loader when built, numpy
+        memmap otherwise (same center-pad semantics)."""
+        size = self.cfg.melspectrogram_size
+        n_bands = self.cfg.n_bands
+        from .. import native
+
+        if native.available():
+            return native.load_chunk(str(path), offset, size, n_bands)
+        skip = max(offset + size - frames_num, 0)
+        frames_to_read = size - skip
+        fp = np.memmap(
+            path, dtype="float16", mode="r",
+            shape=(frames_to_read, n_bands),
+            offset=offset * n_bands * 2,
+        )
+        mel = np.array(fp, dtype="float16")
+        del fp
+        if frames_to_read < size:
+            mel = _center_pad(mel, size, n_bands)
+        return mel
 
     def __getitem__(self, index: int):
         filename = self.filenames[index]

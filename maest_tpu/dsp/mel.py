@@ -71,6 +71,7 @@ def log_mel_spectrogram(
     cfg: MelConfig = MelConfig(),
     *,
     normalize: bool = True,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Compute the normalized log-mel spectrogram.
 
@@ -79,18 +80,26 @@ def log_mel_spectrogram(
       cfg: front-end constants.
       normalize: apply the Discogs z-norm (matches the reference, which
         always normalizes in ``MelSpectrogram.forward``).
+      impl: ``"auto"`` (fused Pallas kernel on TPU, XLA elsewhere),
+        ``"pallas"``, or ``"xla"`` (the numerics oracle).
 
     Returns:
       ``(..., n_mels, n_frames)`` float32 array, n_frames = 1 + n_samples//hop.
     """
+    if impl == "auto":
+        from ..ops.mel_kernel import use_fused_mel
+
+        impl = "pallas" if use_fused_mel() else "xla"
+    fn = lambda w: _log_mel_1d(w, cfg, normalize, fused=impl == "pallas")
     if waveform.ndim == 1:
-        return _log_mel_1d(waveform, cfg, normalize)
+        return fn(waveform)
     if waveform.ndim == 2:
-        return jax.vmap(lambda w: _log_mel_1d(w, cfg, normalize))(waveform)
+        return jax.vmap(fn)(waveform)
     raise ValueError(f"waveform must be 1-D or 2-D, got shape {waveform.shape}")
 
 
-def _log_mel_1d(waveform: jnp.ndarray, cfg: MelConfig, normalize: bool) -> jnp.ndarray:
+def _log_mel_1d(waveform: jnp.ndarray, cfg: MelConfig, normalize: bool,
+                fused: bool = False) -> jnp.ndarray:
     n = waveform.shape[0]
     hop = cfg.hop_length
     n_fft = cfg.n_fft
@@ -111,6 +120,21 @@ def _log_mel_1d(waveform: jnp.ndarray, cfg: MelConfig, normalize: bool) -> jnp.n
     if padded.shape[0] < target:
         padded = jnp.pad(padded, (0, target - padded.shape[0]))
     frames = _frame_half_overlap(padded, frames_total, hop)  # (T, n_fft)
+
+    if fused:
+        from ..ops.mel_kernel import fused_logmel_from_frames
+
+        logmel = fused_logmel_from_frames(
+            frames,
+            n_fft=n_fft,
+            n_mels=cfg.n_mels,
+            sample_rate=cfg.sample_rate,
+            compression_scale=cfg.compression_scale,
+            norm_mean=cfg.norm_mean,
+            norm_std=cfg.norm_std,
+            normalize=normalize,
+        )
+        return logmel.T  # (n_mels, T)
 
     window = jnp.asarray(hann_window(cfg.win_length))
     cos_m, sin_m = dft_matrices(n_fft)

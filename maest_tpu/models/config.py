@@ -57,6 +57,12 @@ class MAESTConfig:
     # attention implementation: "auto" picks the Pallas flash kernel on TPU
     # and XLA elsewhere; "xla"/"flash" force a path.
     attention_impl: str = "auto"
+    # GELU flavor: the reference uses torch nn.GELU() = exact erf. The exact
+    # erf does not fuse into the matmul epilogue on TPU and doubles MLP time;
+    # the tanh approximation is free. "auto" uses tanh under bf16 compute
+    # (error ~1e-3, below bf16 rounding) and exact erf under fp32 (the
+    # parity-oracle mode); "exact"/"tanh" force a flavor.
+    gelu_approx: str = "auto"
 
     @property
     def grid_size(self) -> tuple[int, int]:

@@ -471,16 +471,18 @@ def model_speed_test(cfg: dict, batch_size: int = 100, test_length: int = 100
         "x": jnp.asarray(rng.standard_normal((batch_size, f, t), dtype=np.float32)),
         "y": jnp.asarray((rng.random((batch_size, nc)) > 0.9).astype(np.float32)),
     }
+    from ..utils.profiling import force
+
     key = jax.random.PRNGKey(0)
     for i in range(10):  # warmup
         key, k = jax.random.split(key)
         state, m = step(state, batch, k)
-    jax.block_until_ready(m["train_loss"])
+    force(m["train_loss"])  # lazy remote backends need a fetch, not block
     t0 = time.time()
     for i in range(test_length):
         key, k = jax.random.split(key)
         state, m = step(state, batch, k)
-    jax.block_until_ready(m["train_loss"])
+    force(m["train_loss"])  # steps chain through `state`, so this forces all
     dt = time.time() - t0
     specs_per_s = test_length * batch_size / dt
     print(f"average speed: {specs_per_s:.1f} specs/second")

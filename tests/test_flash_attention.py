@@ -15,7 +15,7 @@ def test_flash_matches_reference():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     b, n, h, d = 2, 200, 4, 64  # n not a multiple of 128 -> exercises padding
     q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
-    out = flash_attention(q, k, v, 128, True)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
     ref = attention_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
@@ -26,7 +26,7 @@ def test_flash_grad_matches_reference():
     q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, 128, True) ** 2)
+        return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128, interpret=True) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(attention_reference(q, k, v) ** 2)

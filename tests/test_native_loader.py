@@ -1,0 +1,74 @@
+"""Native C++ loader tests: parity with the numpy memmap path."""
+
+import numpy as np
+import pytest
+
+from maest_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="no C++ toolchain to build native loader"
+)
+
+
+@pytest.fixture()
+def mel_file(tmp_path):
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((500, 96)).astype(np.float16)
+    path = tmp_path / "clip.mmap"
+    mel.tofile(path)
+    return path, mel
+
+
+def test_file_frames(mel_file):
+    path, mel = mel_file
+    assert native.file_frames(str(path)) == 500
+
+
+def test_load_chunk_inside(mel_file):
+    path, mel = mel_file
+    out = native.load_chunk(str(path), 100, 200)
+    np.testing.assert_array_equal(out, mel[100:300])
+
+
+def test_load_chunk_tail_center_pads(mel_file):
+    path, mel = mel_file
+    out = native.load_chunk(str(path), 400, 200)  # only 100 frames available
+    pad_front = (200 - 100) // 2
+    np.testing.assert_array_equal(out[pad_front:pad_front + 100], mel[400:])
+    assert not out[:pad_front].any()
+    assert not out[pad_front + 100:].any()
+
+
+def test_load_chunk_matches_python_path(mel_file, tmp_path):
+    import pickle
+
+    from maest_tpu.data import DatasetConfig, MelChunkDataset
+
+    path, mel = mel_file
+    gt = {path.name: np.array([1, 0], dtype=bool)}
+    with open(tmp_path / "gt.pk", "wb") as f:
+        pickle.dump(gt, f)
+    cfg = DatasetConfig(clip_length=5)  # 312 frames
+    ds = MelChunkDataset(tmp_path / "gt.pk", path.parent, cfg)
+    # force both paths at a fixed offset
+    got_native = native.load_chunk(str(path), 50, cfg.melspectrogram_size)
+    frames = 500
+    skip = max(50 + cfg.melspectrogram_size - frames, 0)
+    fp = np.memmap(path, dtype=np.float16, mode="r",
+                   shape=(cfg.melspectrogram_size - skip, 96), offset=50 * 96 * 2)
+    ref = np.asarray(fp)
+    np.testing.assert_array_equal(got_native[: len(ref)], ref)
+    # and through the dataset API
+    out = ds.load_melspectrogram(path, offset=50)
+    assert out.shape == (96, cfg.melspectrogram_size)
+    np.testing.assert_array_equal(out.T, got_native)
+
+
+def test_load_batch_threads(mel_file, tmp_path):
+    path, mel = mel_file
+    paths = [str(path)] * 7 + [str(tmp_path / "missing.mmap")]
+    offsets = [0, 10, 20, 30, 40, 400, 499, 0]
+    out = native.load_batch(paths, offsets, 128, threads=4)
+    assert out.shape == (8, 128, 96)
+    np.testing.assert_array_equal(out[1], mel[10:138])
+    assert not out[7].any()  # missing file -> zeroed row
