@@ -207,14 +207,14 @@ def get_maest(
                 f"pretrained weights for {arch} not found at {path}; download "
                 f"{ARCHS[arch].url} into the cache dir (or set MAEST_TPU_CACHE)."
             )
-        state = _load_any(str(path))
-        state = strip_prefix(state, swa_weights=True)
+        state = _normalize_state(_load_any(str(path)), cfg, swa_weights=True)
         loaded = torch_to_jax_params(state, cfg)
         params = merge_params(params, loaded)
 
     if checkpoint:
-        state = _load_any(checkpoint)
-        state = strip_prefix(state, swa_weights=checkpoint_swa_weights)
+        state = _normalize_state(
+            _load_any(checkpoint), cfg, swa_weights=checkpoint_swa_weights
+        )
         loaded = torch_to_jax_params(
             state, cfg, discard_head=checkpoint_discard_head
         )
@@ -230,3 +230,20 @@ def _load_any(path: str):
     if path.endswith(".safetensors"):
         return load_safetensors(path)
     return load_torch_checkpoint(path)
+
+
+def _normalize_state(state, cfg, *, swa_weights: bool):
+    """Route a raw state dict into MAEST-torch layout.
+
+    Accepts Lightning checkpoints (``net.``/``net_swa.`` prefixes), plain
+    MAEST state dicts, and HF AST exports (the ``mtg-upf/discogs-maest-*``
+    hub layout) which are detected by key prefix and inverted through
+    ``packaging.hf_ast.from_hf_ast_state``.
+    """
+    from .checkpoints.convert import strip_prefix
+
+    if any(str(k).startswith("audio_spectrogram_transformer.") for k in state):
+        from .packaging.hf_ast import from_hf_ast_state
+
+        return from_hf_ast_state(state, cfg)
+    return strip_prefix(state, swa_weights=swa_weights)

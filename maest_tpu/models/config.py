@@ -57,6 +57,10 @@ class MAESTConfig:
     # attention implementation: "auto" picks the Pallas flash kernel on TPU
     # and XLA elsewhere; "xla"/"flash" force a path.
     attention_impl: str = "auto"
+    # rematerialize transformer blocks during training (jax.checkpoint):
+    # trades ~30% more FLOPs on backward for O(depth) less activation
+    # memory, buying larger per-chip batches.
+    remat: bool = False
     # GELU flavor: the reference uses torch nn.GELU() = exact erf. The exact
     # erf does not fuse into the matmul epilogue on TPU and doubles MLP time;
     # the tanh approximation is free. "auto" uses tanh under bf16 compute

@@ -131,7 +131,9 @@ class Block(nn.Module):
     gelu_approx: str = "auto"
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool, return_self_attention: bool = False):
+    def __call__(self, x, deterministic: bool = True,
+                 return_self_attention: bool = False):
+        # flags are positional (not kw-only) so nn.remat can mark them static
         norm1 = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")
         attn = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias,
@@ -325,8 +327,13 @@ class MAESTNet(nn.Module):
         dpr = [
             float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
         ]
+        block_cls = Block
+        if cfg.remat and train:
+            # recompute each block on backward instead of storing activations;
+            # flax offsets argnums for self, so (1, 2) = the two boolean flags
+            block_cls = nn.remat(Block, static_argnums=(1, 2))
         blocks = [
-            Block(
+            block_cls(
                 cfg.embed_dim,
                 cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
@@ -349,7 +356,7 @@ class MAESTNet(nn.Module):
             # packaging/onnx_to_tf.sh graph surgery)
             layer_tokens = []
             for blk in blocks:
-                x = blk(x, deterministic=not train)
+                x = blk(x, not train)
                 if return_layer_tokens:
                     layer_tokens.append(x)
             x = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="norm")(x)
@@ -365,13 +372,9 @@ class MAESTNet(nn.Module):
         # embedding tap (reference: models/maest.py:811-829)
         for i, blk in enumerate(blocks):
             if i == transformer_block:
-                x = blk(
-                    x,
-                    deterministic=not train,
-                    return_self_attention=return_self_attention,
-                )
+                x = blk(x, not train, return_self_attention)
                 break
-            x = blk(x, deterministic=not train)
+            x = blk(x, not train)
         cls_out = x[:, 0, :]
         dist_out = x[:, 1, :]
         mean_out = jnp.mean(x[:, 2:, :], axis=1)
