@@ -18,9 +18,12 @@ streams key/value blocks with an online softmax, tuned for MAEST shapes
 
 Matmul inputs stay bf16 (full MXU rate) with fp32 accumulation.
 
-Gradients: ``flash_attention`` carries a custom VJP whose backward pass
-recomputes attention with the XLA path (flash backward kernel is a future
-optimization; recompute keeps training memory flat).
+Gradients: ``flash_attention`` carries a custom VJP with a Pallas backward
+kernel: per (batch*head, q-block) program it recomputes the softmax from
+(q, kT) and emits dq directly plus dk/dv accumulated across q blocks into
+grid-resident output blocks (index_map pinned to block 0, init on j==0).
+Only (q, k, v, o) are saved — training memory stays flat, no (N, N)
+matrices ever reach HBM.
 """
 
 from __future__ import annotations
@@ -132,6 +135,120 @@ def attention_reference(q, k, v):
     return jnp.einsum("bhnm,bmhd->bnhd", p, v)
 
 
+def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float, n_real: int):
+    """One (batch*head, q-block) program of the flash backward pass.
+
+    Inputs: q/do/o blocks (1, bq, d); kT (1, d, n_pad); v (1, n_pad, d).
+    Padded q rows carry zero ``do`` so their dk/dv contributions vanish;
+    padded key columns are masked out of the softmax recompute.
+    """
+    j = pl.program_id(1)
+    q = q_ref[0]
+    do = do_ref[0]
+    n_pad = kt_ref.shape[2]
+
+    # softmax recompute (same exp2 formulation as forward)
+    s = jnp.dot(q, kt_ref[0], preferred_element_type=jnp.float32) * (
+        scale * _LOG2E
+    )
+    if n_real < n_pad:
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+        s = jnp.where(pos < n_real, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l  # (bq, n_pad) fp32
+    p_lo = p.astype(v_ref.dtype)
+
+    # dv += p^T @ do       (contract over the q rows, no transpose op)
+    dv_new = jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (n_pad, d)
+
+    # dp = do @ v^T ; ds = p * (dp - rowsum(do * o)) * scale
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, n_pad)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # (bq, 1)
+    ds = (p * (dp - delta) * scale).astype(v_ref.dtype)
+
+    # dq = ds @ k = ds @ kT^T  (contract ds lanes with kT lanes)
+    dq = jax.lax.dot_general(
+        ds, kt_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bq, d)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    # dk += ds^T @ q
+    dk_new = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (n_pad, d)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_ref[0] = dk_new
+        dv_ref[0] = dv_new
+
+    @pl.when(j > 0)
+    def _acc():
+        dk_ref[0] += dk_new
+        dv_ref[0] += dv_new
+
+
+def _flash_bwd(q, k, v, o, g, *, block_q: int, interpret: bool):
+    b, n, h, d = q.shape
+    scale = d**-0.5
+    n_pad = _round_up(n, 128)
+    bq = _pick_block(n_pad, block_q)
+
+    def reshape_in(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        return x
+
+    qf, vf, dof, of = (reshape_in(x) for x in (q, v, g, o))
+    kt = jnp.swapaxes(reshape_in(k), 1, 2)  # (b*h, d, n_pad)
+
+    grid = (b * h, n_pad // bq)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, n_real=n),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # q
+            pl.BlockSpec((1, d, n_pad), lambda i, j: (i, 0, 0)),   # kT
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # do
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # o
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # dq
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),   # dk (acc)
+            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),   # dv (acc)
+        ],
+        interpret=interpret,
+    )(qf, kt, vf, dof, of)
+
+    def reshape_out(x):
+        return jnp.swapaxes(x[:, :n].reshape(b, h, n, d), 1, 2)
+
+    return (
+        reshape_out(dq),
+        reshape_out(dk).astype(k.dtype),
+        reshape_out(dv).astype(v.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(q, k, v, block_q: int = 896, block_k: int = 448,
                     interpret: bool = False):
@@ -141,17 +258,16 @@ def flash_attention(q, k, v, block_q: int = 896, block_k: int = 448,
 
 
 def _fwd(q, k, v, block_q, block_k, interpret):
-    return (
-        _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
-                   interpret=interpret),
-        (q, k, v),
-    )
+    out = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
+                     interpret=interpret)
+    return out, (q, k, v, out)
 
 
 def _bwd(block_q, block_k, interpret, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(attention_reference, q, k, v)
-    return vjp(g)
+    q, k, v, o = res
+    # backward uses smaller q blocks: fp32 (bq, n_pad) intermediates x4
+    return _flash_bwd(q, k, v, o, g, block_q=min(block_q, 448),
+                      interpret=interpret)
 
 
 flash_attention.defvjp(_fwd, _bwd)
