@@ -26,6 +26,11 @@ import numpy as np
 
 from .config import MAESTConfig
 
+# timm trunc_normal_(std=0.02): truncated at +-2 sigma then scaled — the same
+# construction as flax truncated_normal (reference: models/maest.py:942-976,
+# models/helpers/vit_helpers.py:110-166)
+_DENSE_INIT = nn.initializers.truncated_normal(0.02)
+
 
 class Mlp(nn.Module):
     """Transformer MLP (reference: models/maest.py:183-208).
@@ -47,10 +52,12 @@ class Mlp(nn.Module):
         mode = self.gelu_approx
         if mode == "auto":
             mode = "tanh" if self.dtype == jnp.bfloat16 else "exact"
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     kernel_init=_DENSE_INIT, name="fc1")(x)
         x = nn.gelu(x, approximate=mode == "tanh")
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype,
+                     kernel_init=_DENSE_INIT, name="fc2")(x)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         return x
 
@@ -80,7 +87,7 @@ class Attention(nn.Module):
         scale = head_dim**-0.5
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                       name="qkv")(x)
+                       kernel_init=_DENSE_INIT, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
 
@@ -101,7 +108,8 @@ class Attention(nn.Module):
             attn = attn.astype(self.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
 
-        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=_DENSE_INIT,
+                       name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -422,7 +430,10 @@ class MAESTNet(nn.Module):
         head_norm = nn.LayerNorm(
             epsilon=1e-5, dtype=self.dtype, name="head_norm"
         )
-        head_linear = nn.Dense(cfg.num_classes, dtype=self.dtype, name="head_linear")
+        # head weights start at zero (reference: models/maest.py:951-953)
+        head_linear = nn.Dense(cfg.num_classes, dtype=self.dtype,
+                               kernel_init=nn.initializers.zeros,
+                               name="head_linear")
 
         if not cfg.distilled:
             x = feats
@@ -435,7 +446,8 @@ class MAESTNet(nn.Module):
         if cfg.distilled_type == "separated":
             features = (cls + dist) / 2
             head_dist = nn.Dense(
-                cfg.num_classes, dtype=self.dtype, name="head_dist"
+                cfg.num_classes, dtype=self.dtype,
+                kernel_init=nn.initializers.zeros, name="head_dist"
             )
             return head_linear(head_norm(cls)), head_dist(dist), features
         # fall-through: apply head to the raw tuple element-wise is not

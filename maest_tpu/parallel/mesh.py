@@ -17,6 +17,39 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host runtime init (the reference's NCCL env-var dance,
+    ex_maest519.sh:3-9, becomes one jax.distributed call).
+
+    No-ops on a single host. On TPU pods the arguments are inferred from the
+    environment; on other platforms pass them explicitly (or set
+    ``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``).
+    Returns the process index.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if coordinator_address or os.environ.get("TPU_WORKER_HOSTNAMES"):
+        kw = {}
+        if coordinator_address:
+            kw["coordinator_address"] = coordinator_address
+        if num_processes or os.environ.get("JAX_NUM_PROCESSES"):
+            kw["num_processes"] = int(
+                num_processes or os.environ["JAX_NUM_PROCESSES"]
+            )
+        if process_id is not None or os.environ.get("JAX_PROCESS_ID"):
+            kw["process_id"] = int(
+                process_id if process_id is not None
+                else os.environ["JAX_PROCESS_ID"]
+            )
+        jax.distributed.initialize(**kw)
+    return jax.process_index()
+
+
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
     """Build a (data, model) mesh over the first ``n_devices`` devices."""
     devices = jax.devices()

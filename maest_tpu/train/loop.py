@@ -278,9 +278,10 @@ class Trainer:
                 for batch in device_prefetch(
                     loader.iter_indices(idx), self.batch_shard
                 ):
-                    rng, step_rng = jax.random.split(rng)
+                    # per-step randomness comes from fold_in(rng, state.step)
+                    # inside the jitted step; no host-side split per step
                     self.state, metrics = self.train_step(
-                        self.state, _step_batch(batch), step_rng
+                        self.state, _step_batch(batch), rng
                     )
                     n_steps += 1
                     if n_steps % tr["log_every_n_steps"] == 0:
@@ -473,15 +474,13 @@ def model_speed_test(cfg: dict, batch_size: int = 100, test_length: int = 100
     }
     from ..utils.profiling import force
 
-    key = jax.random.PRNGKey(0)
+    key = jax.random.PRNGKey(0)  # per-step keys fold in state.step on-device
     for i in range(10):  # warmup
-        key, k = jax.random.split(key)
-        state, m = step(state, batch, k)
+        state, m = step(state, batch, key)
     force(m["train_loss"])  # lazy remote backends need a fetch, not block
     t0 = time.time()
     for i in range(test_length):
-        key, k = jax.random.split(key)
-        state, m = step(state, batch, k)
+        state, m = step(state, batch, key)
     force(m["train_loss"])  # steps chain through `state`, so this forces all
     dt = time.time() - t0
     specs_per_s = test_length * batch_size / dt

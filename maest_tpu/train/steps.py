@@ -87,6 +87,10 @@ def make_train_step(
     """
 
     def step(state: TrainState, batch, rng: jax.Array):
+        # Fold the step counter in on-device: callers pass one fixed base key
+        # for the whole run. Host-side jax.random.split per step costs ~9 ms
+        # of eager dispatch on remote/async backends.
+        rng = jax.random.fold_in(rng, state.step)
         k_mask, k_mix, k_patch, k_drop, k_dropout = jax.random.split(rng, 5)
 
         x = _prepare(batch["x"], aug, k_mask, train=True)
