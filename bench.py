@@ -44,6 +44,14 @@ def main():
     cfg = build_config("discogs-maest-30s-pw-129e")
     net = MAESTNet(cfg, dtype=jnp.bfloat16)
     params = init_params(cfg, jax.random.PRNGKey(0))
+    # heads init to zero (reference parity); randomize so the logits-depend-
+    # on-inputs sanity check below stays meaningful
+    params["head_linear"] = dict(
+        params["head_linear"],
+        kernel=0.02 * jax.random.normal(
+            jax.random.PRNGKey(1), params["head_linear"]["kernel"].shape
+        ),
+    )
     params = jax.device_put(
         jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     )
@@ -54,6 +62,15 @@ def main():
     def forward(params, x):
         logits, _ = net.apply({"params": params}, x[..., None], train=False)
         return logits
+
+    @jax.jit
+    def forward_chained(params, x, x0):
+        """One timed step: forward + build the next (input-dependent) input
+        entirely on device — host-side eager ops would add ~10 ms/step of
+        dispatch latency on remote backends."""
+        logits, _ = net.apply({"params": params}, x[..., None], train=False)
+        x_next = x0 + (1e-6 * logits[0, 0]).astype(x0.dtype)
+        return logits, x_next
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -66,15 +83,18 @@ def main():
     out2 = np.asarray(forward(params, x * 1.5), np.float32)
     assert not np.allclose(out, out2)
 
+    # warm the chained program too
+    logits, o = forward_chained(params, x, x)
+    _ = float(logits[0, 0])
+
     iters = 30
     t0 = time.perf_counter()
     o = x
     logits = None
     for _ in range(iters):
-        logits = forward(params, o)
         # chain: next input depends on this step's output, so the final
         # fetch forces every step to have executed
-        o = x + (1e-6 * logits[0, 0]).astype(x.dtype)
+        logits, o = forward_chained(params, o, x)
     _ = float(logits[0, 0])
     t1 = time.perf_counter()
 
