@@ -9,6 +9,7 @@ from .hf_ast import (  # noqa: F401
     from_hf_ast_state,
     jax_to_torch_state,
     save_pretrained,
+    save_torch_checkpoint,
     to_hf_ast_state,
 )
 from .export import export_tf_saved_model  # noqa: F401

@@ -314,6 +314,25 @@ def save_pretrained(params, cfg: MAESTConfig, out_dir: str, labels=None) -> str:
     return out_dir
 
 
+def save_torch_checkpoint(params, cfg: MAESTConfig, path: str,
+                          swa_prefix: bool = False) -> str:
+    """Write a torch ``.pt`` state dict in MAEST layout (the reference's
+    safetensors->pytorch direction, packaging/safetensors_to_pytorch.py:7-17),
+    loadable by the upstream repo. ``swa_prefix`` stores keys as
+    ``net_swa.*`` so the file round-trips through the reference's
+    Lightning-checkpoint loader."""
+    import torch
+
+    state = jax_to_torch_state(params, cfg)
+    prefix = "net_swa." if swa_prefix else ""
+    torch.save(
+        {prefix + k: torch.from_numpy(np.ascontiguousarray(v, np.float32))
+         for k, v in state.items()},
+        path,
+    )
+    return path
+
+
 def push_to_hub(params, cfg: MAESTConfig, repo_id: str, labels=None,
                 private: bool = True) -> str:
     """Upload a converted model to the HF hub (requires network + login)."""

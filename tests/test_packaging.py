@@ -170,3 +170,15 @@ def test_merge_params_after_surgery(small_cfg, small_params):
         np.asarray(merged["blocks_0"]["norm1"]["scale"]),
         np.asarray(small_params["blocks_0"]["norm1"]["scale"]),
     )
+
+
+def test_save_torch_checkpoint_roundtrip(tmp_path, small_cfg, small_params):
+    """.pt export loads back through the standard checkpoint path."""
+    from maest_tpu.api import _load_any, _normalize_state
+    from maest_tpu.packaging.hf_ast import save_torch_checkpoint
+
+    p = str(tmp_path / "model.pt")
+    save_torch_checkpoint(small_params, small_cfg, p, swa_prefix=True)
+    state = _normalize_state(_load_any(p), small_cfg, swa_weights=True)
+    back = torch_to_jax_params(state, small_cfg, strict=True)
+    _tree_equal(jax.tree.map(np.asarray, small_params), back)
