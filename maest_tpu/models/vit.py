@@ -77,10 +77,15 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"  # "auto" | "flash" | "xla"
+    mesh: object = None  # jax.sharding.Mesh -> shard_map'd flash kernel
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
-        from ..ops.attention import flash_attention, use_flash
+        from ..ops.attention import (
+            flash_attention,
+            flash_attention_sharded,
+            use_flash,
+        )
 
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
@@ -99,7 +104,11 @@ class Attention(nn.Module):
             impl = "flash" if (use_flash(n, head_dim) and not needs_drop) else "xla"
 
         if impl == "flash":
-            out = flash_attention(q, k, v).reshape(b, n, c)
+            if self.mesh is not None and getattr(self.mesh, "size", 1) > 1:
+                out = flash_attention_sharded(q, k, v, self.mesh)
+            else:
+                out = flash_attention(q, k, v)
+            out = out.reshape(b, n, c)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                               preferred_element_type=jnp.float32)
@@ -137,6 +146,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     gelu_approx: str = "auto"
+    mesh: object = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -146,7 +156,7 @@ class Block(nn.Module):
         attn = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            impl=self.attn_impl, name="attn",
+            impl=self.attn_impl, mesh=self.mesh, name="attn",
         )
         if return_self_attention:
             return attn(norm1(x), deterministic=deterministic)
@@ -189,6 +199,10 @@ class MAESTNet(nn.Module):
 
     cfg: MAESTConfig
     dtype: jnp.dtype = jnp.float32
+    # optional jax.sharding.Mesh: routes attention through a shard_map'd
+    # Pallas kernel under multi-device meshes (GSPMD cannot partition a
+    # pallas_call)
+    mesh: object = None
 
     @nn.compact
     def __call__(
@@ -353,6 +367,7 @@ class MAESTNet(nn.Module):
                 dtype=self.dtype,
                 attn_impl=cfg.attention_impl,
                 gelu_approx=cfg.gelu_approx,
+                mesh=self.mesh,
                 name=f"blocks_{i}",
             )
             for i in range(cfg.depth)

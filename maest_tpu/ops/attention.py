@@ -273,6 +273,40 @@ def _bwd(block_q, block_k, interpret, res, g):
 flash_attention.defvjp(_fwd, _bwd)
 
 
+def flash_attention_sharded(q, k, v, mesh, *, block_q: int = 896,
+                            block_k: int = 448, interpret: bool = False):
+    """flash_attention under a multi-device mesh via shard_map.
+
+    Attention is embarrassingly parallel over (batch, heads): batch shards
+    over the ``data`` axis and heads over ``model``, with no collectives in
+    the region. This is how the Pallas kernel runs under pjit — GSPMD
+    cannot partition a custom call, but a shard_map region partitions
+    manually and composes with the surrounding jitted train step.
+
+    q, k, v: (B, N, H, D). B must divide by mesh['data'] and H by
+    mesh['model'].
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b, _, h, _ = q.shape
+    data_ax = "data" if "data" in mesh.axis_names and b % mesh.shape["data"] == 0 else None
+    model_ax = "model" if "model" in mesh.axis_names and h % mesh.shape["model"] == 0 else None
+    spec = P(data_ax, None, model_ax, None)
+
+    fn = shard_map(
+        partial(flash_attention, block_q=block_q, block_k=block_k,
+                interpret=interpret),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_rep=False,
+    )
+    return fn(q, k, v)
+
+
 # Kernel blocks are (sublane, lane)-tiled; the smallest head_dim the MXU
 # handles without degenerate tiles. MAEST uses d=64.
 _MIN_HEAD_DIM = 64

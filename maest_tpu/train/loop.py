@@ -119,12 +119,13 @@ class Trainer:
 
         wrapper = _build_model(cfg, self.dtype)
         self.model_cfg = wrapper.cfg
-        if self.mesh.size > 1 and self.model_cfg.attention_impl == "auto":
-            # GSPMD cannot auto-partition a pallas_call; under a multi-device
-            # mesh the XLA attention path partitions cleanly along batch/TP
-            # axes. Single-chip keeps the flash kernel.
-            self.model_cfg = self.model_cfg.replace(attention_impl="xla")
-        self.net = MAESTNet(self.model_cfg, dtype=self.dtype)
+        # Under a multi-device mesh the flash kernel runs inside a shard_map
+        # region (GSPMD cannot partition a pallas_call directly); pass the
+        # mesh so Attention routes through flash_attention_sharded.
+        self.net = MAESTNet(
+            self.model_cfg, dtype=self.dtype,
+            mesh=self.mesh if self.mesh.size > 1 else None,
+        )
         params = wrapper.params
 
         opt = cfg["module"]["optimizer"]
