@@ -121,6 +121,7 @@ def load_batch(paths: Sequence[str], offsets: Sequence[int],
     lib = _load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
+    threads = max(1, min(threads, os.cpu_count() or 1))
     n = len(paths)
     out = np.empty((n, chunk_frames, n_bands), dtype=np.float16)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])

@@ -100,6 +100,10 @@ int64_t mel_load_batch(const char** paths, const int64_t* offsets, int64_t n,
                        uint16_t* out) {
   if (threads < 1) threads = 1;
   if (threads > n) threads = n;
+  // more threads than cores only adds contention (page-cache reads are
+  // CPU-bound memcpys)
+  const int64_t hw = static_cast<int64_t>(std::thread::hardware_concurrency());
+  if (hw > 0 && threads > hw) threads = hw;
   std::atomic<int64_t> next(0), failures(0);
   const int64_t item_elems = chunk_frames * n_bands;
 
