@@ -84,7 +84,10 @@ def run(argv: list[str]) -> dict:
 
 
 def main():
+    from ..utils.cache import enable_compilation_cache
+
     logging.basicConfig(level=logging.INFO)
+    enable_compilation_cache()
     run(sys.argv[1:])
 
 

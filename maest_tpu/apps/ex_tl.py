@@ -284,7 +284,10 @@ def _apply_overrides(cfg: dict, args: list[str]) -> dict:
 
 
 def main():
+    from ..utils.cache import enable_compilation_cache
+
     logging.basicConfig(level=logging.INFO)
+    enable_compilation_cache()
     cfg = _apply_overrides(default_config(), sys.argv[1:])
     tl_pipeline(cfg)
 
