@@ -117,6 +117,26 @@ class MelChunkDataset:
         mel = self.load_melspectrogram(self.base_dir / filename)
         return {"x": mel, "filename": str(filename), "y": target}
 
+    def batch_spec(self, indices):
+        """(paths, offsets, per-item dicts) for the native batch fast path,
+        or None when any item needs the python path (.npy files)."""
+        paths, offsets, metas = [], [], []
+        size = self.cfg.melspectrogram_size
+        for i in indices:
+            filename = self.filenames[i]
+            path = self.base_dir / filename
+            if path.suffix == ".npy":
+                return None
+            frames = self._file_frames(path)
+            offset = int(self.rng.integers(0, max(frames - size, 0) + 1))
+            paths.append(str(path))
+            offsets.append(offset)
+            metas.append({
+                "filename": str(filename),
+                "y": np.asarray(self.groundtruth[filename], dtype="float16"),
+            })
+        return paths, offsets, metas
+
 
 def _teacher_target(teacher_dir, filename, threshold: float) -> np.ndarray:
     """Thresholded teacher activations with argmax fallback
@@ -147,6 +167,17 @@ class MelChunkDatasetTS(MelChunkDataset):
             self.teacher_dir, self.filenames[index], self.threshold
         )
         return item
+
+    def batch_spec(self, indices):
+        spec = super().batch_spec(indices)
+        if spec is None:
+            return None
+        paths, offsets, metas = spec
+        for meta in metas:
+            meta["y_teacher"] = _teacher_target(
+                self.teacher_dir, meta["filename"], self.threshold
+            )
+        return paths, offsets, metas
 
 
 class ExhaustiveMelDataset(MelChunkDataset):
@@ -181,6 +212,21 @@ class ExhaustiveMelDataset(MelChunkDataset):
         mel = self.load_melspectrogram(self.base_dir / filename, offset)
         return {"x": mel, "filename": str(filename), "y": target}
 
+    def batch_spec(self, indices):
+        paths, offsets, metas = [], [], []
+        for i in indices:
+            filename, offset = self.entries[i]
+            path = self.base_dir / filename
+            if path.suffix == ".npy":
+                return None
+            paths.append(str(path))
+            offsets.append(int(offset))
+            metas.append({
+                "filename": str(filename),
+                "y": np.asarray(self.groundtruth[filename], dtype="float16"),
+            })
+        return paths, offsets, metas
+
 
 class ExhaustiveMelDatasetTS(ExhaustiveMelDataset):
     """Exhaustive + teacher targets (reference: discogs/dataset.py:260-318)."""
@@ -199,3 +245,14 @@ class ExhaustiveMelDatasetTS(ExhaustiveMelDataset):
             self.teacher_dir, item["filename"], self.threshold
         )
         return item
+
+    def batch_spec(self, indices):
+        spec = super().batch_spec(indices)
+        if spec is None:
+            return None
+        paths, offsets, metas = spec
+        for meta in metas:
+            meta["y_teacher"] = _teacher_target(
+                self.teacher_dir, meta["filename"], self.threshold
+            )
+        return paths, offsets, metas

@@ -30,14 +30,42 @@ def _collate(items: Sequence[dict]) -> dict:
 
 
 class BatchLoader:
-    """Iterate index batches through a dataset with a thread pool."""
+    """Iterate index batches through a dataset with a thread pool.
+
+    When the dataset exposes ``batch_spec`` and the native C++ reader is
+    built, whole batches are read by one ``mel_load_batch`` call (a C
+    thread pool over pread) — no per-item Python in the hot loop.
+    """
 
     def __init__(self, dataset, batch_size: int, *, num_workers: int = 8,
-                 drop_last: bool = False):
+                 drop_last: bool = False, use_native: bool = True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
+        self.use_native = use_native
+
+    def _native_ok(self) -> bool:
+        if not self.use_native or not hasattr(self.dataset, "batch_spec"):
+            return False
+        from .. import native
+
+        return native.available()
+
+    def _load_batch_native(self, idxs) -> Optional[dict]:
+        from .. import native
+
+        spec = self.dataset.batch_spec(idxs)
+        if spec is None:
+            return None
+        paths, offsets, metas = spec
+        mels = native.load_batch(
+            paths, offsets, self.dataset.cfg.melspectrogram_size,
+            self.dataset.cfg.n_bands, threads=self.num_workers,
+        )  # (B, T, bands)
+        batch = _collate(metas)
+        batch["x"] = np.ascontiguousarray(mels.transpose(0, 2, 1))
+        return batch
 
     def iter_indices(self, indices: Iterable[int]) -> Iterator[dict]:
         indices = list(indices)
@@ -47,26 +75,35 @@ class BatchLoader:
             batches.pop()
         if not batches:
             return
+
+        native_ok = self._native_ok()
         with ThreadPoolExecutor(self.num_workers) as pool:
             # pipeline: keep up to 2 batches in flight
             pending = collections.deque()
             it = iter(batches)
+
+            def fetch(idxs):
+                if native_ok:
+                    batch = self._load_batch_native(idxs)
+                    if batch is not None:
+                        return batch
+                return _collate(list(map(self.dataset.__getitem__, idxs)))
 
             def submit_next():
                 try:
                     idxs = next(it)
                 except StopIteration:
                     return False
-                pending.append(pool.map(self.dataset.__getitem__, idxs))
+                pending.append(pool.submit(fetch, idxs))
                 return True
 
             for _ in range(2):
                 if not submit_next():
                     break
             while pending:
-                items = list(pending.popleft())
+                batch = pending.popleft().result()
                 submit_next()
-                yield _collate(items)
+                yield batch
 
     def __iter__(self) -> Iterator[dict]:
         return self.iter_indices(range(len(self.dataset)))

@@ -72,3 +72,31 @@ def test_load_batch_threads(mel_file, tmp_path):
     assert out.shape == (8, 128, 96)
     np.testing.assert_array_equal(out[1], mel[10:138])
     assert not out[7].any()  # missing file -> zeroed row
+
+
+def test_batchloader_native_fast_path(tmp_path):
+    """BatchLoader native batch path equals the per-item python path
+    (fixed offsets via the exhaustive dataset)."""
+    import pickle
+
+    from maest_tpu.data import BatchLoader, DatasetConfig, ExhaustiveMelDataset
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        rng.standard_normal((700, 96)).astype(np.float16).tofile(
+            tmp_path / f"f{i}.mmap"
+        )
+    gt = {f"f{i}.mmap": np.array([i % 2, 1], bool) for i in range(3)}
+    with open(tmp_path / "gt.pk", "wb") as f:
+        pickle.dump(gt, f)
+    cfg = DatasetConfig(clip_length=5)
+    ds = ExhaustiveMelDataset(tmp_path / "gt.pk", tmp_path, cfg)
+    assert len(ds) >= 3
+
+    fast = list(BatchLoader(ds, 4, use_native=True).iter_indices(range(len(ds))))
+    slow = list(BatchLoader(ds, 4, use_native=False).iter_indices(range(len(ds))))
+    assert len(fast) == len(slow)
+    for fb, sb in zip(fast, slow):
+        np.testing.assert_array_equal(fb["x"], sb["x"])
+        np.testing.assert_array_equal(fb["y"], sb["y"])
+        assert fb["filename"] == sb["filename"]
