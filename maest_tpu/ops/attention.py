@@ -38,12 +38,14 @@ _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
 
 
-def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale: float, n_real: int,
-                 block_k: int):
+def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, lse_ref, *, scale: float,
+                 n_real: int, block_k: int):
     """One (batch*head, q-block) program: online-softmax flash attention.
 
     q_ref: (1, block_q, d); kt_ref: (1, d, n_pad); v_ref: (1, n_pad, d).
-    Keys >= n_real are masked out (sequence padding).
+    Keys >= n_real are masked out (sequence padding). Also emits the
+    per-row log2-sum-exp (``lse_ref``, (1, block_q)) consumed by the
+    backward kernel's softmax reconstruction.
     """
     q = q_ref[0]
     bq, d = q.shape
@@ -74,6 +76,7 @@ def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale: float, n_real: int,
         m = m_new
 
     out_ref[0] = (acc / l).astype(out_ref.dtype)
+    lse_ref[0, 0] = (m + jnp.log2(l))[:, 0]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -90,8 +93,8 @@ def _pick_block(n_pad: int, target: int) -> int:
     return best
 
 
-def _flash_fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool):
-    """q, k, v: (B, N, H, D) -> out (B, N, H, D)."""
+def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool):
+    """q, k, v: (B, N, H, D) -> (out (B, N, H, D), lse (B*H, N_pad))."""
     b, n, h, d = q.shape
     scale = d**-0.5
     n_pad = _round_up(n, 128)
@@ -108,23 +111,36 @@ def _flash_fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool):
     kt = jnp.swapaxes(reshape_in(k), 1, 2)  # (b*h, d, n_pad)
 
     grid = (b * h, n_pad // bq)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(
             _attn_kernel, scale=scale, n_real=n, block_k=bk
         ),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            # (bh, 1, n_pad): the singleton sublane dim satisfies Mosaic's
+            # block-shape divisibility rule for the (1, 1, bq) blocks
+            jax.ShapeDtypeStruct((b * h, 1, n_pad), jnp.float32),
+        ],
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
             pl.BlockSpec((1, d, n_pad), lambda i, j: (i, 0, 0)),
             pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j)),
+        ],
         interpret=interpret,
     )(qf, kt, vf)
 
-    out = out[:, :n].reshape(b, h, n, d)
-    return jnp.swapaxes(out, 1, 2)
+    out = jnp.swapaxes(out[:, :n].reshape(b, h, n, d), 1, 2)
+    return out, lse
+
+
+def _flash_fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool):
+    return _flash_fwd_lse(q, k, v, block_q=block_q, block_k=block_k,
+                          interpret=interpret)[0]
 
 
 def attention_reference(q, k, v):
@@ -135,76 +151,86 @@ def attention_reference(q, k, v):
     return jnp.einsum("bhnm,bmhd->bnhd", p, v)
 
 
-def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale: float, n_real: int):
+def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref, lse_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale: float, n_real: int,
+                     block_k: int):
     """One (batch*head, q-block) program of the flash backward pass.
 
-    Inputs: q/do/o blocks (1, bq, d); kT (1, d, n_pad); v (1, n_pad, d).
+    Softmax probabilities are reconstructed from the forward-saved
+    log2-sum-exp (``p = exp2(s' - lse)``) — no max/sum recompute passes.
+    Key blocking keeps block j+1's score matmul independent of block j's
+    elementwise work, overlapping MXU and VPU like the forward kernel.
     Padded q rows carry zero ``do`` so their dk/dv contributions vanish;
-    padded key columns are masked out of the softmax recompute.
+    padded key columns get masked scores.
     """
     j = pl.program_id(1)
     q = q_ref[0]
     do = do_ref[0]
+    bq, d = q.shape
     n_pad = kt_ref.shape[2]
+    sl = scale * _LOG2E
+    lse = lse_ref[0, 0][:, None]  # (bq, 1)
 
-    # softmax recompute (same exp2 formulation as forward)
-    s = jnp.dot(q, kt_ref[0], preferred_element_type=jnp.float32) * (
-        scale * _LOG2E
-    )
-    if n_real < n_pad:
-        pos = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
-        s = jnp.where(pos < n_real, s, _NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l  # (bq, n_pad) fp32
-    p_lo = p.astype(v_ref.dtype)
-
-    # dv += p^T @ do       (contract over the q rows, no transpose op)
-    dv_new = jax.lax.dot_general(
-        p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (n_pad, d)
-
-    # dp = do @ v^T ; ds = p * (dp - rowsum(do * o)) * scale
-    dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bq, n_pad)
     delta = jnp.sum(
         do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
         axis=-1, keepdims=True,
     )  # (bq, 1)
-    ds = (p * (dp - delta) * scale).astype(v_ref.dtype)
 
-    # dq = ds @ k = ds @ kT^T  (contract ds lanes with kT lanes)
-    dq = jax.lax.dot_general(
-        ds, kt_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bq, d)
+    dq = jnp.zeros((bq, d), jnp.float32)
+    for kb in range(n_pad // block_k):
+        base = kb * block_k
+        kt_j = kt_ref[0, :, base:base + block_k]  # (d, bk)
+        s = jnp.dot(q, kt_j, preferred_element_type=jnp.float32) * sl
+        if base + block_k > n_real:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + base
+            s = jnp.where(pos < n_real, s, _NEG_INF)
+        p = jnp.exp2(s - lse)  # normalized probabilities (bq, bk) fp32
+        p_lo = p.astype(v_ref.dtype)
+
+        # dv_block += p^T @ do    (contract over q rows, no transpose op)
+        dv_blk = jax.lax.dot_general(
+            p_lo, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bk, d)
+
+        # dp = do @ v^T ; ds = p * (dp - delta) * scale
+        dp = jax.lax.dot_general(
+            do, v_ref[0, base:base + block_k, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk)
+        ds = (p * (dp - delta) * scale).astype(v_ref.dtype)
+
+        # dq += ds @ k_j          (contract ds lanes with kT lanes)
+        dq += jax.lax.dot_general(
+            ds, kt_j, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        # dk_block += ds^T @ q
+        dk_blk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (bk, d)
+
+        @pl.when(j == 0)
+        def _init():
+            dk_ref[0, base:base + block_k, :] = dk_blk
+            dv_ref[0, base:base + block_k, :] = dv_blk
+
+        @pl.when(j > 0)
+        def _acc():
+            dk_ref[0, base:base + block_k, :] += dk_blk
+            dv_ref[0, base:base + block_k, :] += dv_blk
+
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
-    # dk += ds^T @ q
-    dk_new = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (n_pad, d)
 
-    @pl.when(j == 0)
-    def _init():
-        dk_ref[0] = dk_new
-        dv_ref[0] = dv_new
-
-    @pl.when(j > 0)
-    def _acc():
-        dk_ref[0] += dk_new
-        dv_ref[0] += dv_new
-
-
-def _flash_bwd(q, k, v, o, g, *, block_q: int, interpret: bool):
+def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
+               interpret: bool):
     b, n, h, d = q.shape
     scale = d**-0.5
     n_pad = _round_up(n, 128)
     bq = _pick_block(n_pad, block_q)
+    bk = _pick_block(n_pad, block_k)
 
     def reshape_in(x):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
@@ -217,7 +243,8 @@ def _flash_bwd(q, k, v, o, g, *, block_q: int, interpret: bool):
 
     grid = (b * h, n_pad // bq)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, n_real=n),
+        functools.partial(_attn_bwd_kernel, scale=scale, n_real=n,
+                          block_k=bk),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
@@ -230,6 +257,7 @@ def _flash_bwd(q, k, v, o, g, *, block_q: int, interpret: bool):
             pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),   # v
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # do
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # o
+            pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j)),       # lse
         ],
         out_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # dq
@@ -237,7 +265,7 @@ def _flash_bwd(q, k, v, o, g, *, block_q: int, interpret: bool):
             pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),   # dv (acc)
         ],
         interpret=interpret,
-    )(qf, kt, vf, dof, of)
+    )(qf, kt, vf, dof, of, lse)
 
     def reshape_out(x):
         return jnp.swapaxes(x[:, :n].reshape(b, h, n, d), 1, 2)
@@ -258,16 +286,20 @@ def flash_attention(q, k, v, block_q: int = 896, block_k: int = 448,
 
 
 def _fwd(q, k, v, block_q, block_k, interpret):
-    out = _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
-                     interpret=interpret)
-    return out, (q, k, v, out)
+    out, lse = _flash_fwd_lse(q, k, v, block_q=block_q, block_k=block_k,
+                              interpret=interpret)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(block_q, block_k, interpret, res, g):
-    q, k, v, o = res
-    # backward uses smaller q blocks: fp32 (bq, n_pad) intermediates x4
-    return _flash_bwd(q, k, v, o, g, block_q=min(block_q, 448),
-                      interpret=interpret)
+    q, k, v, o, lse = res
+    # Backward uses smaller q blocks (four fp32 (bq, K) intermediates) but
+    # the FULL key range per program: K-blocking measured ~1.8x slower here
+    # because the per-block slice-accumulate into the dk/dv output refs
+    # costs more than the MXU/VPU overlap buys (the LSE reconstruction
+    # already removed the softmax reduction passes).
+    return _flash_bwd(q, k, v, o, lse, g, block_q=min(block_q, 448),
+                      block_k=1 << 30, interpret=interpret)
 
 
 flash_attention.defvjp(_fwd, _bwd)
