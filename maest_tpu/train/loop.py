@@ -199,6 +199,15 @@ class Trainer:
     def _val_dataset(self):
         dm = self.cfg["datamodule"]
         base = dm["base_dir_val"] or dm["base_dir"]
+        if self.teacher_student:
+            # TS eval logs standard/teacher/combined losses, so the val
+            # loader also carries teacher targets (reference:
+            # models/module.py:318-349)
+            return MelChunkDatasetTS(
+                dm["groundtruth_val"], base, _dataset_cfg(self.cfg),
+                teacher_target_base_dir=dm["teacher_student"]["teacher_target_base_dir"],
+                teacher_target_threshold=dm["teacher_student"]["teacher_target_threshold"],
+            )
         return MelChunkDataset(dm["groundtruth_val"], base, _dataset_cfg(self.cfg))
 
     def _epoch_indices(self, dataset, epoch: int) -> np.ndarray:
@@ -359,10 +368,18 @@ class Trainer:
 
     def test(self) -> dict:
         dm = self.cfg["datamodule"]
-        ds = ExhaustiveMelDataset(
-            dm["groundtruth_test"], dm["base_dir"], _dataset_cfg(self.cfg),
-            half_overlapped_inference=self.cfg["dataset"]["half_overlapped_inference"],
-        )
+        if self.teacher_student:
+            ds = ExhaustiveMelDatasetTS(
+                dm["groundtruth_test"], dm["base_dir"], _dataset_cfg(self.cfg),
+                teacher_target_base_dir=dm["teacher_student"]["teacher_target_base_dir"],
+                teacher_target_threshold=dm["teacher_student"]["teacher_target_threshold"],
+                half_overlapped_inference=self.cfg["dataset"]["half_overlapped_inference"],
+            )
+        else:
+            ds = ExhaustiveMelDataset(
+                dm["groundtruth_test"], dm["base_dir"], _dataset_cfg(self.cfg),
+                half_overlapped_inference=self.cfg["dataset"]["half_overlapped_inference"],
+            )
         return self._run_eval(ds, "test")
 
     # -- prediction / embedding extraction ------------------------------------

@@ -122,3 +122,21 @@ def test_test_command(corpus, tmp_path, capsys):
 def test_compute_norm_stats(corpus, tmp_path):
     res = run(["compute_norm_stats", "with"] + _overrides(corpus, tmp_path))
     assert np.isfinite(res["mean"]) and np.isfinite(res["std"])
+
+
+def test_teacher_student_training(corpus, tmp_path):
+    """TS pipeline: teacher logits on disk -> dual-loss training
+    (reference: models/module.py:279-316, discogs/dataset.py:143-193)."""
+    rng = np.random.default_rng(3)
+    teacher_dir = tmp_path / "teacher"
+    teacher_dir.mkdir()
+    for i in range(10):
+        np.save(teacher_dir / f"clip{i}.mmap.logits.npy",
+                rng.standard_normal(8).astype("float32"))
+    res = run(["main", "with"] + _overrides(corpus, tmp_path, [
+        "datamodule.teacher_student.do=True",
+        f"datamodule.teacher_student.teacher_target_base_dir={teacher_dir}",
+        "maest.distilled_type=separated",
+        "trainer.max_epochs=1",
+    ]))
+    assert res == {"done": True}
