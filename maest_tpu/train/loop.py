@@ -335,7 +335,8 @@ class Trainer:
             num_workers=cfg["datamodule"]["num_workers"],
         )
         ys, outs, n = [], {}, 0
-        batches = _pad_batches(iter(loader), self.n_data)
+        batches = _pad_batches(iter(loader), self.n_data,
+                               cfg["datamodule"]["batch_size_test"])
         for batch in device_prefetch(batches, self.batch_shard):
             n_true = batch["_n"]
             res = self.eval_step(self.state, _step_batch(batch))
@@ -400,7 +401,8 @@ class Trainer:
 
         agg: dict[str, list] = {}
         with self.mesh:
-            batches = _pad_batches(iter(loader), self.n_data)
+            batches = _pad_batches(iter(loader), self.n_data,
+                                   dm["batch_size_test"])
             for batch in device_prefetch(batches, self.batch_shard):
                 out = predict_step(self.state.params, _step_batch(batch), block)
                 n_true = batch["_n"]
@@ -436,12 +438,20 @@ def _step_batch(batch: dict) -> dict:
     return {k: v for k, v in batch.items() if k not in ("filename", "_n")}
 
 
-def _pad_batches(batches, multiple: int):
-    """Pad trailing batches to a multiple of the data-axis size (padded rows
-    repeat the last sample and are sliced off on host via ``_n``)."""
+def _pad_batches(batches, multiple: int, full_size: int = 0):
+    """Pad batches to one static size (padded rows repeat the last sample
+    and are sliced off on host via ``_n``).
+
+    With ``full_size`` every batch pads to the same shape so the jitted
+    eval/predict step compiles exactly once — a ragged tail batch would
+    otherwise trigger a fresh compile (minutes on remote backends). The
+    target is also rounded up to a multiple of the data-axis size.
+    """
     for batch in batches:
         b = batch["x"].shape[0]
-        pad = (-b) % multiple
+        target = max(full_size, b)
+        target += (-target) % multiple
+        pad = target - b
         if pad:
             batch = dict(batch)
             for k, v in list(batch.items()):
