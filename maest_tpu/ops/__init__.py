@@ -1,3 +1,19 @@
-from .augment import mixup, roll_augment, spec_augment
+"""TPU kernels and on-device data ops."""
 
-__all__ = ["mixup", "roll_augment", "spec_augment"]
+from .attention import (  # noqa: F401
+    attention_reference,
+    flash_attention,
+    flash_attention_sharded,
+)
+from .augment import mixup, roll_augment, spec_augment  # noqa: F401
+from .mel_kernel import fused_logmel_from_frames  # noqa: F401
+
+__all__ = [
+    "attention_reference",
+    "flash_attention",
+    "flash_attention_sharded",
+    "fused_logmel_from_frames",
+    "mixup",
+    "roll_augment",
+    "spec_augment",
+]
