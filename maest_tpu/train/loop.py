@@ -55,6 +55,9 @@ def _augment_config(cfg: dict) -> AugmentConfig:
         time_masks=dm["masking"]["time_masks"],
         freq_masks=dm["masking"]["freq_masks"],
         mixup_alpha=cfg["module"]["mixup_alpha"],
+        roll=dm["roll"]["do"],
+        roll_axis=dm["roll"]["axis"],
+        roll_shift_range=dm["roll"]["shift_range"],
     )
 
 

@@ -20,7 +20,7 @@ import optax
 
 from ..dsp import NORM_MEAN, NORM_STD
 from ..models.vit import MAESTNet
-from ..ops.augment import mixup, spec_augment
+from ..ops.augment import mixup, roll_augment, spec_augment
 from .state import TrainState
 
 
@@ -40,6 +40,10 @@ class AugmentConfig:
     time_masks: int = 20
     freq_masks: int = 8
     mixup_alpha: float = 0.3
+    # roll augmentation (off by default, reference: discogs/datamodule.py:43,111-124)
+    roll: bool = False
+    roll_axis: int = -1
+    roll_shift_range: int = 50
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -52,11 +56,14 @@ def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 
 def _prepare(x: jnp.ndarray, aug: AugmentConfig, key, train: bool) -> jnp.ndarray:
-    """Normalize (+ SpecAugment when training) a (B, F, T) mel batch and
-    return NHWC (B, F, T, 1)."""
+    """Normalize (+ roll/SpecAugment when training) a (B, F, T) mel batch
+    and return NHWC (B, F, T, 1)."""
     x = x.astype(jnp.float32)
     if aug.normalize:
         x = (x - aug.norm_mean) / (aug.norm_std * 2.0)
+    if train and aug.roll:
+        key, k_roll = jax.random.split(key)
+        x = roll_augment(k_roll, x, aug.roll_shift_range, axis=aug.roll_axis)
     if train and aug.masking:
         x = spec_augment(
             key,
