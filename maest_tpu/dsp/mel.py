@@ -142,12 +142,16 @@ def _log_mel_1d(waveform: jnp.ndarray, cfg: MelConfig, normalize: bool,
     sin_m = jnp.asarray(sin_m)
 
     fw = frames * window[None, :]
-    re = jnp.dot(fw, cos_m, preferred_element_type=jnp.float32)
-    im = jnp.dot(fw, sin_m, preferred_element_type=jnp.float32)
+    # force full-fp32 matmuls: TPU default precision rounds inputs to bf16,
+    # blowing the <1e-3 front-end parity budget
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(fw, cos_m, precision=hi, preferred_element_type=jnp.float32)
+    im = jnp.dot(fw, sin_m, precision=hi, preferred_element_type=jnp.float32)
     power = re * re + im * im  # (T, n_bins)
 
     fb = jnp.asarray(mel_filterbank(n_fft // 2 + 1, cfg.n_mels, cfg.sample_rate))
-    mel = jnp.dot(power, fb, preferred_element_type=jnp.float32)  # (T, n_mels)
+    mel = jnp.dot(power, fb, precision=hi,
+                  preferred_element_type=jnp.float32)  # (T, n_mels)
 
     logmel = jnp.log10(1.0 + mel * cfg.compression_scale)
     if normalize:

@@ -40,11 +40,18 @@ def _round_up(x: int, m: int) -> int:
 def _mel_kernel(frames_ref, cosw_ref, sinw_ref, fb_ref, out_ref, *,
                 scale: float, mean: float, inv_two_std: float,
                 normalize: bool):
+    # TPU fp32 matmuls round inputs to bf16 at default precision; the DSP
+    # front-end carries the <1e-3 Essentia-parity budget, so force the
+    # multi-pass fp32 path (measured 2.5e-2 error at default precision).
     f = frames_ref[:]  # (block_t, n_fft) fp32
-    re = jnp.dot(f, cosw_ref[:], preferred_element_type=jnp.float32)
-    im = jnp.dot(f, sinw_ref[:], preferred_element_type=jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(f, cosw_ref[:], precision=hi,
+                 preferred_element_type=jnp.float32)
+    im = jnp.dot(f, sinw_ref[:], precision=hi,
+                 preferred_element_type=jnp.float32)
     power = re * re + im * im  # (block_t, n_bins)
-    mel = jnp.dot(power, fb_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, fb_ref[:], precision=hi,
+                  preferred_element_type=jnp.float32)
     logmel = jnp.log10(1.0 + mel * scale)
     if normalize:
         logmel = (logmel - mean) * inv_two_std

