@@ -14,6 +14,14 @@ same workload, documented here so the ratio is reproducible:
   H100 SXM bf16 dense peak 989.5 TFLOP/s at 50% MFU -> ~495 TFLOP/s
     -> ~1240 clips/s -> ~37,200 audio-sec/s.
 
+Per-chip context: the attached chip is a v5e (197 bf16 TFLOP/s peak — ~1/5
+of an H100's 989). ``vs_baseline`` therefore compares raw per-chip
+throughput across very different silicon; the efficiency-normalized view:
+the measured step implies ~85 TFLOP/s effective = ~43% MFU, vs the 50% MFU
+assumed for the H100 estimate — i.e. ~86% of the baseline's efficiency,
+with the gap dominated by the d=64 attention-core structural limit
+(docs/DESIGN.md).
+
 Measurement notes (axon TPU relay): execution is lazy on the remote —
 ``block_until_ready`` alone does not wait for completion, so each timed
 step chains on the previous step's output and the loop is closed with a
