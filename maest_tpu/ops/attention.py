@@ -229,6 +229,163 @@ def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref, lse_ref,
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
+def _bwd_dq_kernel(q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, *, scale: float, n_real: int):
+    """One (batch*head, q-block, k-block) program: dq contribution of one
+    key block, accumulated into a grid-resident dq block (index_map pinned
+    to k-block 0). VMEM is bounded by (block_q, block_k) — no full-K
+    residency, so sequence length is unbounded."""
+    jk = pl.program_id(2)
+    q = q_ref[0]
+    bq, d = q.shape
+    bk = kt_ref.shape[2]
+    sl = scale * _LOG2E
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+
+    base = jk * bk
+    s = jnp.dot(q, kt_ref[0], preferred_element_type=jnp.float32) * sl
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + base
+    s = jnp.where(pos < n_real, s, _NEG_INF)
+    p = jnp.exp2(s - lse)
+    dp = jax.lax.dot_general(
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta) * scale).astype(v_ref.dtype)
+    dq_blk = jax.lax.dot_general(
+        ds, kt_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jk == 0)
+    def _init():
+        dq_ref[0] = dq_blk
+
+    @pl.when(jk > 0)
+    def _acc():
+        dq_ref[0] += dq_blk
+
+
+def _bwd_dkv_kernel(q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, *, scale: float, n_real: int):
+    """One (batch*head, k-block, q-block) program: this key block's dk/dv
+    contribution from one q block, accumulated into grid-resident dk/dv
+    blocks (index_map pinned to q-block 0). Padded q rows carry zero ``do``
+    so they contribute nothing; padded key columns get masked scores."""
+    jq = pl.program_id(2)
+    jk = pl.program_id(1)
+    q = q_ref[0]
+    do = do_ref[0]
+    bk = kt_ref.shape[2]
+    sl = scale * _LOG2E
+    lse = lse_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+
+    base = jk * bk
+    s = jnp.dot(q, kt_ref[0], preferred_element_type=jnp.float32) * sl
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + base
+    s = jnp.where(pos < n_real, s, _NEG_INF)
+    p = jnp.exp2(s - lse)
+    p_lo = p.astype(v_ref.dtype)
+
+    dv_blk = jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, d)
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (dp - delta) * scale).astype(v_ref.dtype)
+    dk_blk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bk, d)
+
+    @pl.when(jq == 0)
+    def _init():
+        dk_ref[0] = dk_blk
+        dv_ref[0] = dv_blk
+
+    @pl.when(jq > 0)
+    def _acc():
+        dk_ref[0] += dk_blk
+        dv_ref[0] += dv_blk
+
+
+def _flash_bwd_split(q, k, v, o, lse, g, *, block_q: int, block_k: int,
+                     interpret: bool):
+    """Backward for sequences whose fp32 (block_q, N) intermediates exceed
+    VMEM: two kernels with (block_q, block_k)-bounded working sets. The dq
+    kernel streams key blocks through the grid; the dk/dv kernel streams q
+    blocks. Scores are recomputed once per kernel (2x the recompute of the
+    combined kernel), which is why the combined full-K kernel stays the
+    default at MAEST scale (N <= 1792)."""
+    b, n, h, d = q.shape
+    scale = d**-0.5
+    n_pad = _round_up(n, 128)
+    bq = _pick_block(n_pad, block_q)
+    bk = _pick_block(n_pad, block_k)
+
+    def reshape_in(x):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        return x
+
+    qf, vf, dof, of = (reshape_in(x) for x in (q, v, g, o))
+    kt = jnp.swapaxes(reshape_in(k), 1, 2)  # (b*h, d, n_pad)
+    delta = jnp.sum(
+        dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (b*h, 1, n_pad)
+
+    (dq,) = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, n_real=n),
+        out_shape=[jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32)],
+        grid=(b * h, n_pad // bq, n_pad // bk),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, jq, jk: (i, jq, 0)),   # q
+            pl.BlockSpec((1, d, bk), lambda i, jq, jk: (i, 0, jk)),   # kT
+            pl.BlockSpec((1, bk, d), lambda i, jq, jk: (i, jk, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda i, jq, jk: (i, jq, 0)),   # do
+            pl.BlockSpec((1, 1, bq), lambda i, jq, jk: (i, 0, jq)),   # lse
+            pl.BlockSpec((1, 1, bq), lambda i, jq, jk: (i, 0, jq)),   # delta
+        ],
+        out_specs=[pl.BlockSpec((1, bq, d), lambda i, jq, jk: (i, jq, 0))],
+        interpret=interpret,
+    )(qf, kt, vf, dof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, n_real=n),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
+        ],
+        grid=(b * h, n_pad // bk, n_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, jk, jq: (i, jq, 0)),   # q
+            pl.BlockSpec((1, d, bk), lambda i, jk, jq: (i, 0, jk)),   # kT
+            pl.BlockSpec((1, bk, d), lambda i, jk, jq: (i, jk, 0)),   # v
+            pl.BlockSpec((1, bq, d), lambda i, jk, jq: (i, jq, 0)),   # do
+            pl.BlockSpec((1, 1, bq), lambda i, jk, jq: (i, 0, jq)),   # lse
+            pl.BlockSpec((1, 1, bq), lambda i, jk, jq: (i, 0, jq)),   # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda i, jk, jq: (i, jk, 0)),
+            pl.BlockSpec((1, bk, d), lambda i, jk, jq: (i, jk, 0)),
+        ],
+        interpret=interpret,
+    )(qf, kt, vf, dof, lse, delta)
+
+    def reshape_out(x):
+        return jnp.swapaxes(x[:, :n].reshape(b, h, n, d), 1, 2)
+
+    return (
+        reshape_out(dq).astype(q.dtype),
+        reshape_out(dk).astype(k.dtype),
+        reshape_out(dv).astype(v.dtype),
+    )
+
+
 def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
                interpret: bool):
     b, n, h, d = q.shape
@@ -296,13 +453,26 @@ def _fwd(q, k, v, block_q, block_k, interpret):
     return out, (q, k, v, out, lse)
 
 
+# Combined full-K backward holds four fp32 (448, n_pad) intermediates per
+# program (~7 MB/1k keys) plus full bf16 kT/v; past this n_pad the split
+# kernels take over with (block_q, block_k)-bounded VMEM.
+_FULL_K_BWD_MAX_N_PAD = 4096
+
+
 def _bwd(block_q, block_k, interpret, res, g):
     q, k, v, o, lse = res
     # Backward uses smaller q blocks (four fp32 (bq, K) intermediates) but
     # the FULL key range per program: K-blocking measured ~1.8x slower here
     # because the per-block slice-accumulate into the dk/dv output refs
     # costs more than the MXU/VPU overlap buys (the LSE reconstruction
-    # already removed the softmax reduction passes).
+    # already removed the softmax reduction passes). Sequences too long for
+    # that (beyond reference scope, which caps at 1685 tokens) fall back to
+    # the VMEM-bounded split kernels.
+    if _round_up(q.shape[1], 128) > _FULL_K_BWD_MAX_N_PAD:
+        return _flash_bwd_split(q, k, v, o, lse, g,
+                                block_q=min(block_q, 256),
+                                block_k=min(block_k, 256),
+                                interpret=interpret)
     return _flash_bwd(q, k, v, o, lse, g, block_q=min(block_q, 448),
                       block_k=1 << 30, interpret=interpret)
 

@@ -71,6 +71,21 @@ def main():
     gerr = float(np.abs(g - g_ref).max() / (np.abs(g_ref).max() + 1e-9))
     check("flash_bwd_vs_oracle", gerr < 2e-2, f"rel max|d|={gerr:.2e}")
 
+    # -- 1b. larger-than-VMEM split backward (n_pad > 4096 dispatch) ----------
+    n_long = 4600  # pads to 4608 > _FULL_K_BWD_MAX_N_PAD -> split kernels
+    ql, kl, vl = (
+        jnp.asarray(rng.standard_normal((1, n_long, 2, 64)) * 0.1, jnp.float32)
+        for _ in range(3)
+    )
+    gl = np.asarray(jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(flash_attention(q, k, v) ** 2),
+        argnums=(0, 1, 2)))(ql, kl, vl)[1])
+    gl_ref = np.asarray(jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(attention_reference(q, k, v) ** 2),
+        argnums=(0, 1, 2)))(ql, kl, vl)[1])
+    slerr = float(np.abs(gl - gl_ref).max() / (np.abs(gl_ref).max() + 1e-9))
+    check("flash_split_bwd_vs_oracle", slerr < 2e-2, f"rel max|d|={slerr:.2e}")
+
     # -- 2. mel front-end vs the fp64 numpy oracle ----------------------------
     from maest_tpu.dsp.mel import log_mel_spectrogram, log_mel_spectrogram_np
 

@@ -20,6 +20,29 @@ def test_flash_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_split_backward_matches_reference():
+    """The larger-than-VMEM backward path (dq / dkv split kernels, VMEM
+    bounded by (block_q, block_k)) must produce the same gradients as the
+    XLA reference. Exercised directly — the dispatch threshold (n_pad >
+    4096) is too large to run in interpret mode."""
+    from maest_tpu.ops.attention import _flash_bwd_split, _flash_fwd_lse
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(2), 4)
+    b, n, h, d = 1, 300, 2, 64  # n not a multiple of 128 -> padded rows/cols
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+    g = _rand(k4, (b, n, h, d))
+
+    o, lse = _flash_fwd_lse(q, k, v, block_q=128, block_k=128, interpret=True)
+    dq, dk, dv = _flash_bwd_split(q, k, v, o, lse, g, block_q=128,
+                                  block_k=128, interpret=True)
+
+    _, vjp = jax.vjp(attention_reference, q, k, v)
+    rq, rk, rv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=1e-3, atol=1e-4)
+
+
 def test_flash_grad_matches_reference():
     k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
     b, n, h, d = 1, 128, 2, 64
