@@ -63,6 +63,13 @@ def run(argv: list[str]) -> dict:
         print(f"mean={mean} std={std}")
         return {"mean": mean, "std": std}
 
+    if command == "main" and cfg["trainer"].get("resilient"):
+        # restart-from-checkpoint on infrastructure failures (preemption,
+        # worker loss); beyond reference scope — see train/resilience.py
+        from ..train.resilience import fit_with_recovery
+
+        return fit_with_recovery(cfg)
+
     trainer = Trainer(cfg)
     if command == "main":
         return trainer.fit()

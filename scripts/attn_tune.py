@@ -108,18 +108,63 @@ def time_config(n: int, n_pad: int, bq: int, bk: int, *, batch: int,
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def time_bwd(n: int, bq_target: int, *, batch: int, heads: int,
+             iters: int) -> float:
+    """ms per combined full-K backward kernel at (batch, n, heads, 64),
+    calling _flash_bwd directly (the production _bwd clamps block_q <= 448;
+    this sweep bypasses the clamp to measure all divisor blocks)."""
+    rng = np.random.default_rng(0)
+    shape = (batch, n, heads, 64)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.bfloat16)
+               for _ in range(3))
+    g = jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.bfloat16)
+
+    @jax.jit
+    def chained(q, k, v, g):
+        o, lse = A._flash_fwd_lse(q, k, v, block_q=896, block_k=448,
+                                  interpret=False)
+        dq, dk, dv = A._flash_bwd(q, k, v, o, lse, g, block_q=bq_target,
+                                  block_k=1 << 30, interpret=False)
+        return dq, dq  # q_next = dq
+
+    o, _ = chained(q, k, v, g)
+    _ = float(o[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    x = q
+    for _i in range(iters):
+        o, x = chained(x, k, v, g)
+    _ = float(o[0, 0, 0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--heads", type=int, default=12)
     ap.add_argument("--archs", default="30s,20s,10s,5s")
+    ap.add_argument("--bwd", action="store_true",
+                    help="sweep the combined backward's block_q instead")
     args = ap.parse_args()
 
     best = {}
     for name in args.archs.split(","):
         n = ARCH_N[name]
         print(f"== {name} (N={n}) ==", flush=True)
+        if args.bwd:
+            n_pad = (n + 127) // 128 * 128
+            for bq in _divisor_blocks(n_pad):
+                try:
+                    ms = time_bwd(n, bq, batch=args.batch, heads=args.heads,
+                                  iters=args.iters)
+                except Exception as e:  # noqa: BLE001
+                    print(f"  bwd bq={bq}: FAIL {type(e).__name__}: "
+                          f"{str(e)[:90]}", flush=True)
+                    continue
+                print(f"  bwd bq={bq}: {ms:.2f} ms", flush=True)
+                if name not in best or ms < best[name][0]:
+                    best[name] = (ms, n_pad, bq, -1)
+            continue
         for n_pad, bq, bk in candidates(n):
             try:
                 ms = time_config(n, n_pad, bq, bk, batch=args.batch,
