@@ -164,9 +164,7 @@ def _make_scheduler(opt: dict, steps_per_epoch: int):
         return sched
     if mode == "cyclic":
         # triangular2, step_size_up=145 steps (reference: ex_tl.py:160-174)
-        return optax.cyclic_cosine_decay_schedule if False else _triangular2(
-            opt["base_lr"], opt["max_lr"], 145
-        )
+        return _triangular2(opt["base_lr"], opt["max_lr"], 145)
     raise ValueError(f"unknown scheduler {mode}")
 
 

@@ -439,12 +439,35 @@ def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
     )
 
 
+# Per-sequence-length forward blocks measured on v5e (scripts/attn_tune.py,
+# batch 32 x 12 heads, 50-iter back-to-back validation): the 20 s geometry
+# runs 7% faster with a single q block per program; other lengths measured
+# at parity with the generic (896, 448) targets and keep them.
+_TUNED_FWD_BLOCKS = {
+    1127: (1152, 384),  # 20s: 3.41 vs 3.67 ms/call at (384, 384)
+    1685: (1792, 256),  # 30s: parity-to-slightly-better than (896, 256)
+}
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def flash_attention(q, k, v, block_q: int = 896, block_k: int = 448,
-                    interpret: bool = False):
-    """Fused multi-head attention; inputs/outputs (B, N, H, D)."""
+def _flash_attention_vjp(q, k, v, block_q: int, block_k: int,
+                         interpret: bool):
     return _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
                       interpret=interpret)
+
+
+def flash_attention(q, k, v, block_q: int | None = None,
+                    block_k: int | None = None, interpret: bool = False):
+    """Fused multi-head attention; inputs/outputs (B, N, H, D).
+
+    ``block_q``/``block_k`` default to measured per-N tuning
+    (``_TUNED_FWD_BLOCKS``) with a generic fallback; pass explicit values
+    to override (targets — the largest 128-multiple divisor of n_pad at or
+    below the target is used).
+    """
+    tq, tk = _TUNED_FWD_BLOCKS.get(q.shape[1], (896, 448))
+    return _flash_attention_vjp(q, k, v, block_q or tq, block_k or tk,
+                                interpret)
 
 
 def _fwd(q, k, v, block_q, block_k, interpret):
@@ -477,11 +500,12 @@ def _bwd(block_q, block_k, interpret, res, g):
                       block_k=1 << 30, interpret=interpret)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_attention_vjp.defvjp(_fwd, _bwd)
 
 
-def flash_attention_sharded(q, k, v, mesh, *, block_q: int = 896,
-                            block_k: int = 448, interpret: bool = False):
+def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
+                            block_k: int | None = None,
+                            interpret: bool = False):
     """flash_attention under a multi-device mesh via shard_map.
 
     Attention is embarrassingly parallel over (batch, heads): batch shards
