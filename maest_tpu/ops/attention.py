@@ -439,13 +439,15 @@ def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
     )
 
 
-# Per-sequence-length forward blocks measured on v5e (scripts/attn_tune.py,
-# batch 32 x 12 heads, 50-iter back-to-back validation): the 20 s geometry
-# runs 7% faster with a single q block per program; other lengths measured
-# at parity with the generic (896, 448) targets and keep them.
+# Per-pad-class forward blocks measured on v5e (scripts/attn_tune.py,
+# batch 32 x 12 heads, 50-iter back-to-back validation), keyed by n_pad
+# (= N rounded up to 128, the quantity that determines the divisor set):
+# the 20 s geometry (N=1118 -> 1152) runs 7% faster with a single q block
+# per program; other lengths measured at parity with the generic
+# (896, 448) targets and keep them.
 _TUNED_FWD_BLOCKS = {
-    1127: (1152, 384),  # 20s: 3.41 vs 3.67 ms/call at (384, 384)
-    1685: (1792, 256),  # 30s: parity-to-slightly-better than (896, 256)
+    1152: (1152, 384),  # 20s eval: 3.41 vs 3.67 ms/call at (384, 384)
+    1792: (1792, 256),  # 30s eval (N=1676): parity-to-better vs (896, 256)
 }
 
 
@@ -465,7 +467,7 @@ def flash_attention(q, k, v, block_q: int | None = None,
     to override (targets — the largest 128-multiple divisor of n_pad at or
     below the target is used).
     """
-    tq, tk = _TUNED_FWD_BLOCKS.get(q.shape[1], (896, 448))
+    tq, tk = _TUNED_FWD_BLOCKS.get(_round_up(q.shape[1], 128), (896, 448))
     return _flash_attention_vjp(q, k, v, block_q or tq, block_k or tk,
                                 interpret)
 
@@ -476,27 +478,46 @@ def _fwd(q, k, v, block_q, block_k, interpret):
     return out, (q, k, v, out, lse)
 
 
-# Combined full-K backward holds four fp32 (448, n_pad) intermediates per
-# program (~7 MB/1k keys) plus full bf16 kT/v; past this n_pad the split
-# kernels take over with (block_q, block_k)-bounded VMEM.
+# Combined full-K backward holds four fp32 (block_q, n_pad) intermediates
+# per program plus full bf16 kT/v; past this n_pad the split kernels take
+# over with (block_q, block_k)-bounded VMEM.
 _FULL_K_BWD_MAX_N_PAD = 4096
+
+# Largest block_q * n_pad whose four fp32 intermediates compile (~26 MB;
+# 1792 * 1792 fails). Within the budget, BIGGER q blocks win: measured
+# (batch 32 x 12 heads, scripts/attn_tune.py --bwd) pad 896: bq 896 6.89 ms
+# vs bq 128 8.18; pad 640: 4.44 vs 5.34; pad 1792: bq 896 19.49 vs
+# bq 256 20.08 — fewer program launches and kT/v stay grid-resident.
+_BWD_VMEM_ROWS = 896 * 1792
+
+
+def _pick_bwd_block(n_pad: int) -> int:
+    """Largest 128-multiple divisor of n_pad within the VMEM budget."""
+    best = 128
+    for mult in range(1, n_pad // 128 + 1):
+        cand = 128 * mult
+        if n_pad % cand == 0 and cand * n_pad <= _BWD_VMEM_ROWS:
+            best = cand
+    return best
 
 
 def _bwd(block_q, block_k, interpret, res, g):
     q, k, v, o, lse = res
-    # Backward uses smaller q blocks (four fp32 (bq, K) intermediates) but
-    # the FULL key range per program: K-blocking measured ~1.8x slower here
-    # because the per-block slice-accumulate into the dk/dv output refs
-    # costs more than the MXU/VPU overlap buys (the LSE reconstruction
-    # already removed the softmax reduction passes). Sequences too long for
-    # that (beyond reference scope, which caps at 1685 tokens) fall back to
-    # the VMEM-bounded split kernels.
-    if _round_up(q.shape[1], 128) > _FULL_K_BWD_MAX_N_PAD:
+    # Backward q blocks are picked by the VMEM rule above, independent of
+    # the forward tuning; the kernel always sees the FULL key range per
+    # program: K-blocking measured ~1.8x slower here because the per-block
+    # slice-accumulate into the dk/dv output refs costs more than the
+    # MXU/VPU overlap buys (the LSE reconstruction already removed the
+    # softmax reduction passes). Sequences too long for full-K residency
+    # (beyond reference scope, which caps at 1676 tokens) fall back to the
+    # VMEM-bounded split kernels.
+    n_pad = _round_up(q.shape[1], 128)
+    if n_pad > _FULL_K_BWD_MAX_N_PAD:
         return _flash_bwd_split(q, k, v, o, lse, g,
                                 block_q=min(block_q, 256),
                                 block_k=min(block_k, 256),
                                 interpret=interpret)
-    return _flash_bwd(q, k, v, o, lse, g, block_q=min(block_q, 448),
+    return _flash_bwd(q, k, v, o, lse, g, block_q=_pick_bwd_block(n_pad),
                       block_k=1 << 30, interpret=interpret)
 
 

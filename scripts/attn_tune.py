@@ -31,8 +31,13 @@ import numpy as np  # noqa: E402
 
 from maest_tpu.ops import attention as A  # noqa: E402
 
-# arch sequence lengths (tokens incl. CLS/DIST): 5s/10s/20s/30s
-ARCH_N = {"5s": 281, "10s": 560, "20s": 1127, "30s": 1685}
+# actual model sequence lengths (tokens incl. CLS/DIST; the patch conv
+# emits floor((T-16)/10)+1 time frames): eval per clip length, plus
+# pretrain-mode lengths after structured time patchout (30/60/90 cols).
+ARCH_N = {
+    "5s": 272, "10s": 551, "20s": 1118, "30s": 1676,
+    "10s-train": 281, "20s-train": 578, "30s-train": 866,
+}
 
 
 def _divisor_blocks(n_pad: int, cap: int = 2048):
