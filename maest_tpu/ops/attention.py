@@ -446,6 +446,9 @@ def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
 # per program; other lengths measured at parity with the generic
 # (896, 448) targets and keep them.
 _TUNED_FWD_BLOCKS = {
+    896: (896, 896),    # 30s train (N=866): 2.6 vs 3.1 ms at (896, 128) —
+                        # pad 896 only divides by 128/896, and the generic
+                        # bk=448 target degraded to 7 tiny K iterations
     1152: (1152, 384),  # 20s eval: 3.41 vs 3.67 ms/call at (384, 384)
     1792: (1792, 256),  # 30s eval (N=1676): parity-to-better vs (896, 256)
 }
