@@ -20,6 +20,21 @@ def test_flash_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_tuned_single_block_dispatch_matches_reference():
+    """N=866 (the 30 s train shape) resolves to the tuned single-block
+    (896, 896) config; the kernel must stay correct when one program
+    covers the whole padded sequence with a padded tail."""
+    from maest_tpu.ops.attention import _TUNED_FWD_BLOCKS
+
+    assert _TUNED_FWD_BLOCKS[896] == (896, 896)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(3), 3)
+    b, n, h, d = 1, 866, 2, 64
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+    out = flash_attention(q, k, v, interpret=True)  # blocks from the table
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
 def test_split_backward_matches_reference():
     """The larger-than-VMEM backward path (dq / dkv split kernels, VMEM
     bounded by (block_q, block_k)) must produce the same gradients as the
