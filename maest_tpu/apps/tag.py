@@ -72,13 +72,20 @@ def main(argv=None) -> int:
     emb_dir = Path(args.embeddings_dir) if args.embeddings_dir else None
     if emb_dir:
         emb_dir.mkdir(parents=True, exist_ok=True)
+    used_names: dict[str, int] = {}
 
     for path in args.audio:
         wave = load_audio(Path(path))
         if emb_dir is not None:
             # block tap returns (None, embeddings)
             emb = np.asarray(model(wave, transformer_block=args.block)[1])
-            out = emb_dir / (Path(path).stem + ".embeddings.npy")
+            # same-basename inputs from different dirs must not overwrite
+            stem = Path(path).stem
+            n_seen = used_names.get(stem, 0)
+            used_names[stem] = n_seen + 1
+            if n_seen:
+                stem = f"{stem}.{n_seen}"
+            out = emb_dir / (stem + ".embeddings.npy")
             np.save(out, emb)
             print(f"{path}: {emb.shape} -> {out}")
             continue

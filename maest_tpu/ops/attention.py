@@ -94,6 +94,24 @@ def _pick_block(n_pad: int, target: int) -> int:
     return best
 
 
+def _flatten_pad(n_pad: int, *tensors):
+    """(B, N, H, D) -> (B*H, n_pad, D) with zero-padded tail rows — the
+    shared kernel input layout (heads fold into the grid's batch dim)."""
+    outs = []
+    for x in tensors:
+        b, n, h, d = x.shape
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
+        if n_pad != n:
+            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+        outs.append(x)
+    return outs
+
+
+def _unflatten(x, b: int, n: int, h: int, d: int):
+    """Inverse of _flatten_pad: (B*H, n_pad, D) -> (B, N, H, D)."""
+    return jnp.swapaxes(x[:, :n].reshape(b, h, n, d), 1, 2)
+
+
 def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
                    with_lse: bool = True):
     """q, k, v: (B, N, H, D) -> (out (B, N, H, D), lse (B*H, 1, N_pad)).
@@ -107,14 +125,8 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
     bq = _pick_block(n_pad, block_q)
     bk = _pick_block(n_pad, block_k)
 
-    def reshape_in(x):
-        x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
-        if n_pad != n:
-            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-        return x
-
-    qf, vf = reshape_in(q), reshape_in(v)
-    kt = jnp.swapaxes(reshape_in(k), 1, 2)  # (b*h, d, n_pad)
+    qf, kf, vf = _flatten_pad(n_pad, q, k, v)
+    kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
 
     grid = (b * h, n_pad // bq)
     out_shape = [jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype)]
@@ -138,9 +150,7 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
         interpret=interpret,
     )(qf, kt, vf)
     out, lse = (res[0], res[1]) if with_lse else (res[0], None)
-
-    out = jnp.swapaxes(out[:, :n].reshape(b, h, n, d), 1, 2)
-    return out, lse
+    return _unflatten(out, b, n, h, d), lse
 
 
 def _flash_fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool):
@@ -326,14 +336,8 @@ def _flash_bwd_split(q, k, v, o, lse, g, *, block_q: int, block_k: int,
     bq = _pick_block(n_pad, block_q)
     bk = _pick_block(n_pad, block_k)
 
-    def reshape_in(x):
-        x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
-        if n_pad != n:
-            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-        return x
-
-    qf, vf, dof, of = (reshape_in(x) for x in (q, v, g, o))
-    kt = jnp.swapaxes(reshape_in(k), 1, 2)  # (b*h, d, n_pad)
+    qf, kf, vf, dof, of = _flatten_pad(n_pad, q, k, v, g, o)
+    kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
     delta = jnp.sum(
         dof.astype(jnp.float32) * of.astype(jnp.float32), axis=-1
     )[:, None, :]  # (b*h, 1, n_pad)
@@ -376,13 +380,10 @@ def _flash_bwd_split(q, k, v, o, lse, g, *, block_q: int, block_k: int,
         interpret=interpret,
     )(qf, kt, vf, dof, lse, delta)
 
-    def reshape_out(x):
-        return jnp.swapaxes(x[:, :n].reshape(b, h, n, d), 1, 2)
-
     return (
-        reshape_out(dq).astype(q.dtype),
-        reshape_out(dk).astype(k.dtype),
-        reshape_out(dv).astype(v.dtype),
+        _unflatten(dq, b, n, h, d).astype(q.dtype),
+        _unflatten(dk, b, n, h, d).astype(k.dtype),
+        _unflatten(dv, b, n, h, d).astype(v.dtype),
     )
 
 
@@ -394,14 +395,8 @@ def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
     bq = _pick_block(n_pad, block_q)
     bk = _pick_block(n_pad, block_k)
 
-    def reshape_in(x):
-        x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
-        if n_pad != n:
-            x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
-        return x
-
-    qf, vf, dof, of = (reshape_in(x) for x in (q, v, g, o))
-    kt = jnp.swapaxes(reshape_in(k), 1, 2)  # (b*h, d, n_pad)
+    qf, kf, vf, dof, of = _flatten_pad(n_pad, q, k, v, g, o)
+    kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
 
     grid = (b * h, n_pad // bq)
     dq, dk, dv = pl.pallas_call(
@@ -429,13 +424,10 @@ def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
         interpret=interpret,
     )(qf, kt, vf, dof, of, lse)
 
-    def reshape_out(x):
-        return jnp.swapaxes(x[:, :n].reshape(b, h, n, d), 1, 2)
-
     return (
-        reshape_out(dq),
-        reshape_out(dk).astype(k.dtype),
-        reshape_out(dv).astype(v.dtype),
+        _unflatten(dq, b, n, h, d),
+        _unflatten(dk, b, n, h, d).astype(k.dtype),
+        _unflatten(dv, b, n, h, d).astype(v.dtype),
     )
 
 

@@ -268,7 +268,11 @@ class Trainer:
         )
         meta = Path(path).parent / (Path(path).name + ".meta.json")
         if meta.exists():
-            self.epoch = json.loads(meta.read_text()).get("epoch", 0)
+            # checkpoints are written AFTER an epoch completes, so resume
+            # at the next one (Lightning resume semantics) — re-running the
+            # saved epoch would double its optimizer updates and push the
+            # step-indexed LR schedule past its planned range
+            self.epoch = json.loads(meta.read_text()).get("epoch", -1) + 1
 
     # -- loops ---------------------------------------------------------------
     def fit(self):

@@ -21,31 +21,56 @@ from typing import Callable, Optional
 
 _logger = logging.getLogger("maest_tpu.resilience")
 
-# Substrings that mark infrastructure failures (XLA runtime / distributed
-# transport), as opposed to programming errors, which must propagate.
-_RECOVERABLE_MARKERS = (
+# Status codes / phrases that mark infrastructure failures (XLA runtime /
+# distributed transport), as opposed to programming errors, which must
+# propagate. Status codes match case-sensitively so e.g. the word
+# "internal" in an ordinary error message does not trigger a restart.
+_RECOVERABLE_STATUS = (
     "UNAVAILABLE",
     "DEADLINE_EXCEEDED",
     "ABORTED",
+    "CANCELLED",
     "INTERNAL",
+    "DATA_LOSS",
+)
+_RECOVERABLE_PHRASES = (
     "preempt",
     "connection reset",
     "failed to connect",
     "socket closed",
     "slice restart",
 )
-_RECOVERABLE_TYPES = ("XlaRuntimeError", "JaxRuntimeError")
+# Deterministic failures that re-running cannot fix — a retry would just
+# recompile for minutes and die the same way (shape bugs, OOM, ...).
+_FATAL_STATUS = (
+    "INVALID_ARGUMENT",
+    "RESOURCE_EXHAUSTED",
+    "UNIMPLEMENTED",
+    "NOT_FOUND",
+    "OUT_OF_RANGE",
+)
+_RUNTIME_ERROR_TYPES = ("XlaRuntimeError", "JaxRuntimeError")
+
+
+def _matches(msg: str, exc: BaseException) -> bool:
+    return any(s in msg for s in _RECOVERABLE_STATUS) or (
+        isinstance(exc, (RuntimeError, OSError))
+        and any(p in msg.lower() for p in _RECOVERABLE_PHRASES)
+    )
 
 
 def is_recoverable(exc: BaseException) -> bool:
     """Infrastructure failure (restartable) vs programming error (fatal)."""
-    for klass in type(exc).__mro__:
-        if klass.__name__ in _RECOVERABLE_TYPES:
-            return True
     msg = str(exc)
-    return isinstance(exc, (RuntimeError, OSError)) and any(
-        m.lower() in msg.lower() for m in _RECOVERABLE_MARKERS
-    )
+    is_xla = any(k.__name__ in _RUNTIME_ERROR_TYPES
+                 for k in type(exc).__mro__)
+    if is_xla:
+        # XLA runtime errors default to restartable (chip resets surface
+        # as INTERNAL / FAILED_PRECONDITION / UNAVAILABLE with relay-
+        # dependent wording) EXCEPT deterministic statuses, which would
+        # fail identically on every attempt.
+        return not any(s in msg for s in _FATAL_STATUS)
+    return _matches(msg, exc)
 
 
 def latest_checkpoint(run_dir) -> Optional[str]:
@@ -108,8 +133,12 @@ def fit_with_recovery(
     cfg = dict(cfg)
     restarts = 0
     while True:
-        trainer = trainer_factory(cfg)
+        trainer = None
         try:
+            # construction also does device work (mesh setup, param
+            # sharding) and must be retryable — right after a preemption
+            # the device may still be down when the next attempt starts
+            trainer = trainer_factory(cfg)
             result = trainer.fit()
             if restarts:
                 result = dict(result, restarts=restarts)
@@ -118,11 +147,13 @@ def fit_with_recovery(
             if not is_recoverable(e) or restarts >= max_restarts:
                 raise
             restarts += 1
-            ckpt = latest_checkpoint(trainer.run_dir)
+            # on a construction failure keep resuming from the previous
+            # attempt's checkpoint (already in cfg["ckpt_path"])
+            ckpt = latest_checkpoint(trainer.run_dir) if trainer else None
             _logger.warning(
                 "recoverable failure (%s: %s); restart %d/%d from %s",
                 type(e).__name__, str(e)[:200], restarts, max_restarts,
-                ckpt or "scratch",
+                ckpt or cfg.get("ckpt_path") or "scratch",
             )
             if ckpt:
                 cfg["ckpt_path"] = ckpt

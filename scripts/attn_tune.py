@@ -116,8 +116,8 @@ def time_config(n: int, n_pad: int, bq: int, bk: int, *, batch: int,
 def time_bwd(n: int, bq_target: int, *, batch: int, heads: int,
              iters: int) -> float:
     """ms per combined full-K backward kernel at (batch, n, heads, 64),
-    calling _flash_bwd directly (the production _bwd clamps block_q <= 448;
-    this sweep bypasses the clamp to measure all divisor blocks)."""
+    calling _flash_bwd directly with an explicit block_q so every divisor
+    block can be measured (production picks via `_pick_bwd_block`)."""
     rng = np.random.default_rng(0)
     shape = (batch, n, heads, 64)
     q, k, v = (jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.bfloat16)

@@ -26,9 +26,16 @@ def test_is_recoverable_classification():
     assert is_recoverable(XlaRuntimeError("DATA_LOSS: chip reset"))
     assert is_recoverable(RuntimeError("UNAVAILABLE: socket closed"))
     assert is_recoverable(OSError("connection reset by peer"))
+    # XLA runtime errors default restartable (relay wording varies) ...
+    assert is_recoverable(XlaRuntimeError("FAILED_PRECONDITION: backend"))
     assert not is_recoverable(ValueError("bad config"))
     assert not is_recoverable(RuntimeError("shape mismatch"))
     assert not is_recoverable(KeyError("params"))
+    # ... except deterministic statuses, which fail the same on every try
+    assert not is_recoverable(XlaRuntimeError("INVALID_ARGUMENT: bad shape"))
+    assert not is_recoverable(XlaRuntimeError("RESOURCE_EXHAUSTED: OOM"))
+    # status codes match case-sensitively ('internal' prose must not trip)
+    assert not is_recoverable(RuntimeError("internal logic error"))
 
 
 def test_latest_checkpoint_picks_newest_epoch(tmp_path):
@@ -92,10 +99,11 @@ def test_fit_recovers_from_mid_training_failure(corpus, tmp_path):
     must resume from epoch-0 and complete, reporting the restart."""
     from maest_tpu.train.loop import Trainer
 
-    state = {"made": 0, "steps": 0, "resumed_from": None}
+    state = {"made": 0, "steps": 0, "resumed_from": None, "trainers": []}
 
     def factory(cfg):
         t = Trainer(cfg)
+        state["trainers"].append(t)
         if state["made"] == 0:
             orig = t.train_step
 
@@ -116,6 +124,9 @@ def test_fit_recovers_from_mid_training_failure(corpus, tmp_path):
     assert res["done"] and res["restarts"] == 1
     assert state["made"] == 2
     assert state["resumed_from"] and state["resumed_from"].endswith("epoch-0")
+    # resume starts at the NEXT epoch (no double-trained epoch 0): the
+    # recovered trainer runs exactly epoch 1 and stops at max_epochs=2
+    assert state["trainers"][1].epoch == 2
 
 
 def test_programming_errors_propagate(corpus, tmp_path):
