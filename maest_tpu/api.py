@@ -32,13 +32,30 @@ from .models.vit import MAESTNet, init_params
 
 
 class MAEST:
-    """Inference-oriented wrapper holding a config + param pytree."""
+    """Inference-oriented wrapper holding a config + param pytree.
 
-    def __init__(self, cfg: MAESTConfig, params, dtype=jnp.float32):
+    ``mesh``: a ``jax.sharding.Mesh`` spreads inference over multiple
+    chips — batch/chunk axis over ``data``, optional Megatron-style tensor
+    parallelism over ``model`` (beyond reference scope, which is
+    single-GPU at inference). Params are placed with the mesh's partition
+    specs; inputs are sharded over ``data`` when the batch divides.
+    """
+
+    def __init__(self, cfg: MAESTConfig, params, dtype=jnp.float32,
+                 mesh=None):
         self.cfg = cfg
-        self.params = params
         self.dtype = dtype
-        self.net = MAESTNet(cfg, dtype=dtype)
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            from .parallel.mesh import shard_params
+
+            # flash attention runs inside a shard_map region under a mesh
+            # (GSPMD cannot partition a pallas_call)
+            self.net = MAESTNet(cfg, dtype=dtype, mesh=self.mesh)
+            params = shard_params(params, self.mesh)
+        else:
+            self.net = MAESTNet(cfg, dtype=dtype)
+        self.params = params
         self.labels = labels_for(cfg.num_classes)
 
         @functools.partial(
@@ -123,6 +140,18 @@ class MAEST:
 
         # NCHW -> NHWC for the TPU-native layout
         x = x.transpose(0, 2, 3, 1)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # shard the batch/chunk axis over `data` when it divides,
+            # otherwise replicate (tiny inputs are not worth padding)
+            ax = "data" if x.shape[0] % self.mesh.shape["data"] == 0 else None
+            x = jax.device_put(
+                x, NamedSharding(self.mesh, PartitionSpec(ax)))
+            with self.mesh:
+                return self._apply(
+                    self.params, x, transformer_block, return_self_attention
+                )
         return self._apply(
             self.params, x, transformer_block, return_self_attention
         )
@@ -161,6 +190,7 @@ def get_maest(
     embed_dim: int = 768,
     depth: int = 12,
     num_heads: int = 12,
+    mesh=None,
 ) -> MAEST:
     """Build a MAEST model, optionally loading released weights.
 
@@ -221,7 +251,7 @@ def get_maest(
         params = merge_params(params, loaded)
 
     params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
-    return MAEST(cfg, params, dtype=dtype)
+    return MAEST(cfg, params, dtype=dtype, mesh=mesh)
 
 
 def _load_any(path: str):

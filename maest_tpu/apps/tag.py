@@ -40,6 +40,8 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="transformer block for --embeddings-dir taps")
     ap.add_argument("--random-weights", action="store_true",
                     help="skip weight loading (smoke tests)")
+    ap.add_argument("--devices", type=int, default=1,
+                    help="spread inference over N chips (data-parallel)")
     # dev/test overrides (tiny models compile fast on CPU)
     ap.add_argument("--embed-dim", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--depth", type=int, default=None, help=argparse.SUPPRESS)
@@ -62,6 +64,10 @@ def main(argv=None) -> int:
         ("embed_dim", args.embed_dim), ("depth", args.depth),
         ("num_heads", args.num_heads), ("input_t", args.input_t),
     ) if v is not None}
+    if args.devices > 1:
+        from ..parallel.mesh import make_mesh
+
+        extra["mesh"] = make_mesh(args.devices)
     model = get_maest(
         arch=args.arch,
         pretrained=not (args.random_weights or args.checkpoint),

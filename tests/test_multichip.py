@@ -137,3 +137,35 @@ def test_flash_attention_sharded_interpret():
         g_ref = jax.grad(lambda q: jnp.sum(attention_reference(q, k, v) ** 2))(q)
         np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                    rtol=5e-3, atol=5e-3)
+
+
+def test_api_inference_on_mesh_matches_single_device():
+    """get_maest(mesh=...) shards the public inference API over the mesh
+    (DP over chunks, TP over heads); logits must match the single-device
+    wrapper bit-for-fp32-tolerance."""
+    from maest_tpu.api import get_maest
+
+    kwargs = dict(
+        arch="discogs-maest-30s-pw-129e", pretrained=False,
+        embed_dim=64, depth=2, num_heads=4, input_t=62, n_classes=16,
+    )
+    single = get_maest(**kwargs)
+    mesh = make_mesh(8, model_parallel=2)
+    sharded = get_maest(**kwargs, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 96, 62)).astype(np.float32)  # divisible batch
+    ref = np.asarray(single(x)[0], np.float32)
+    out = np.asarray(sharded(x)[0], np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    # odd batch (not divisible by the data axis) replicates instead
+    x3 = rng.standard_normal((3, 96, 62)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(sharded(x3)[0], np.float32),
+        np.asarray(single(x3)[0], np.float32), rtol=2e-5, atol=2e-5)
+
+    # rank-1 waveform path (chunking + mel) also runs under the mesh
+    wave = rng.standard_normal(2 * 16000 // 16).astype(np.float32)
+    acts, labels = sharded.predict_labels(wave)
+    assert acts.shape == (16,) and np.isfinite(acts).all()
