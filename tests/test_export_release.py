@@ -1,0 +1,89 @@
+"""Training checkpoint -> release artifact bridge (apps/export_release)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from maest_tpu.apps.ex_maest import run
+from maest_tpu.apps.export_release import (
+    load_training_checkpoint,
+    main,
+    select_params,
+)
+
+GEOM = ["--n-classes", "8", "--input-t", "62", "--embed-dim", "64",
+        "--depth", "2", "--num-heads", "4"]
+
+
+@pytest.fixture(scope="module")
+def trained_ckpt(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    gt = {}
+    for i in range(8):
+        name = f"clip{i}.mmap"
+        rng.standard_normal((100, 96)).astype("float16").tofile(root / name)
+        y = (rng.random(8) > 0.6).astype("float16")
+        y[i % 8] = 1.0
+        gt[name] = y
+    for split in ("train", "val"):
+        with open(root / f"gt_{split}.pk", "wb") as f:
+            pickle.dump(gt, f)
+    run(["main", "with",
+         f"datamodule.base_dir={root}",
+         f"datamodule.groundtruth_train={root}/gt_train.pk",
+         f"datamodule.groundtruth_val={root}/gt_val.pk",
+         "datamodule.clip_length=1", "datamodule.batch_size_train=2",
+         "datamodule.batch_size_test=3", "datamodule.num_workers=2",
+         "datamodule.sampler.epoch_len=8", "maest.n_classes=8",
+         "maest.input_t=62", "maest.embed_dim=64", "maest.depth=2",
+         "maest.num_heads=4", "maest.s_patchout_t=1",
+         "trainer.max_epochs=1", "trainer.devices=2",
+         "trainer.precision=fp32", "trainer.limit_val_batches=1",
+         "module.swa_epoch_start=0", "module.optimizer.warm_up_len=1",
+         f"trainer.default_root_dir={root}/exp_logs"])
+    runs = sorted((root / "exp_logs").iterdir())
+    return runs[-1] / "checkpoints" / "epoch-0"
+
+
+def test_export_torch_roundtrips_through_get_maest(trained_ckpt, tmp_path):
+    out = tmp_path / "release.pt"
+    assert main([str(trained_ckpt), "--format", "torch", "--out", str(out)]
+                + GEOM) == 0
+    assert out.exists()
+
+    # the exported SWA weights load back through the public factory and
+    # match the checkpoint's swa_params exactly
+    from maest_tpu.api import get_maest
+
+    m = get_maest(arch="discogs-maest-30s-pw-129e", pretrained=False,
+                  checkpoint=str(out), n_classes=8, input_t=62,
+                  embed_dim=64, depth=2, num_heads=4)
+    state = load_training_checkpoint(str(trained_ckpt))
+    swa = select_params(state, swa=True)
+    got = np.asarray(m.params["head_linear"]["kernel"], np.float32)
+    want = np.asarray(swa["head_linear"]["kernel"], np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    x = np.random.default_rng(1).standard_normal((2, 96, 62)).astype("f4")
+    logits = np.asarray(m(x)[0], np.float32)
+    assert logits.shape == (2, 8) and np.isfinite(logits).all()
+
+
+def test_export_raw_params_differ_from_swa(trained_ckpt, tmp_path):
+    state = load_training_checkpoint(str(trained_ckpt))
+    raw = select_params(state, swa=False)
+    swa = select_params(state, swa=True)
+    # one SWA update happened (epoch 0 with swa_epoch_start=0): averages
+    # exist and are distinct pytrees
+    assert raw is not swa
+
+
+def test_export_hf_directory(trained_ckpt, tmp_path):
+    out = tmp_path / "hf"
+    assert main([str(trained_ckpt), "--format", "hf", "--out", str(out)]
+                + GEOM) == 0
+    assert (out / "model.safetensors").exists()
+    assert (out / "config.json").exists()
+    assert (out / "preprocessor_config.json").exists()
