@@ -34,6 +34,7 @@ def default_config() -> dict:
             "log_every_n_steps": 50,
             "default_root_dir": "exp_logs",
             "model_parallel": 1,
+            "sequence_parallel": False,  # Megatron-SP (needs model_parallel>1)
             "resilient": False,  # restart from ckpt on infra failures
             "max_restarts": 3,
         },

@@ -67,6 +67,12 @@ class MAESTConfig:
     # (error ~1e-3, below bf16 rounding) and exact erf under fp32 (the
     # parity-oracle mode); "exact"/"tanh" force a flavor.
     gelu_approx: str = "auto"
+    # Megatron-style sequence parallelism (only meaningful with tensor
+    # parallelism): the residual stream is sharded over the `model` axis on
+    # the TOKEN dim between blocks, so LayerNorm/dropout/residual math and
+    # activation memory scale 1/TP; XLA turns the TP all-reduces into
+    # reduce-scatter + all-gather pairs around the sharded regions.
+    sequence_parallel: bool = False
 
     @property
     def grid_size(self) -> tuple[int, int]:

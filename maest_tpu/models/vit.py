@@ -147,6 +147,22 @@ class Block(nn.Module):
     attn_impl: str = "auto"
     gelu_approx: str = "auto"
     mesh: object = None
+    sequence_parallel: bool = False
+
+    def _seq_shard(self, x):
+        """Megatron-SP: keep the residual stream token-sharded over the
+        `model` axis between the matmul regions. GSPMD propagates this into
+        sharded LayerNorm/residual math and reduce-scatter/all-gather pairs
+        replacing the TP all-reduces."""
+        if not self.sequence_parallel or self.mesh is None:
+            return x
+        if "model" not in self.mesh.axis_names or self.mesh.shape["model"] == 1:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, P("data", "model", None))
+        )
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -166,8 +182,10 @@ class Block(nn.Module):
             dp_rng1 = self.make_rng("droppath")
             dp_rng2 = self.make_rng("droppath")
 
+        x = self._seq_shard(x)
         y = attn(norm1(x), deterministic=deterministic)
-        x = x + drop_path(y, self.drop_path_rate, deterministic, dp_rng1)
+        x = self._seq_shard(
+            x + drop_path(y, self.drop_path_rate, deterministic, dp_rng1))
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
                 dtype=self.dtype, gelu_approx=self.gelu_approx, name="mlp")(
             nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x),
@@ -368,6 +386,7 @@ class MAESTNet(nn.Module):
                 attn_impl=cfg.attention_impl,
                 gelu_approx=cfg.gelu_approx,
                 mesh=self.mesh,
+                sequence_parallel=cfg.sequence_parallel,
                 name=f"blocks_{i}",
             )
             for i in range(cfg.depth)

@@ -122,6 +122,8 @@ class Trainer:
 
         wrapper = _build_model(cfg, self.dtype)
         self.model_cfg = wrapper.cfg
+        if tr.get("sequence_parallel") and self.mesh.shape.get("model", 1) > 1:
+            self.model_cfg = self.model_cfg.replace(sequence_parallel=True)
         # Under a multi-device mesh the flash kernel runs inside a shard_map
         # region (GSPMD cannot partition a pallas_call directly); pass the
         # mesh so Attention routes through flash_attention_sharded.

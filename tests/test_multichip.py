@@ -43,9 +43,11 @@ def _batch(mesh, n=8):
     }
 
 
-def _run_steps(mesh, model_parallel, steps=2):
+def _run_steps(mesh, model_parallel, steps=2, sequence_parallel=False):
     cfg = _tiny_cfg()
-    net = MAESTNet(cfg, dtype=jnp.float32)
+    if sequence_parallel:
+        cfg = cfg.replace(sequence_parallel=True)
+    net = MAESTNet(cfg, dtype=jnp.float32, mesh=mesh)
     params = init_params(cfg, jax.random.PRNGKey(0))
     tx = make_optimizer(lr_schedule=1e-3, adamw=True)
     step_fn = make_train_step(net, tx, AugmentConfig(mixup_alpha=0.0,
@@ -88,6 +90,21 @@ def test_dp_tp_train_step_runs_and_matches():
     np.testing.assert_allclose(
         float(m1["train_loss"]), float(mtp["train_loss"]), rtol=1e-5
     )
+
+
+def test_dp_tp_sp_train_step_matches():
+    """DP x TP x SP: token-sharded residual stream (Megatron sequence
+    parallelism) must not change the numbers — GSPMD only re-lays-out the
+    LayerNorm/residual regions and swaps all-reduce for RS+AG."""
+    state_1, m1 = _run_steps(None, 1)
+    mesh = make_mesh(8, model_parallel=2)
+    state_sp, msp = _run_steps(mesh, 2, sequence_parallel=True)
+    np.testing.assert_allclose(
+        float(m1["train_loss"]), float(msp["train_loss"]), rtol=1e-5
+    )
+    l1 = np.asarray(state_1.params["blocks_0"]["attn"]["qkv"]["kernel"])
+    lsp = np.asarray(state_sp.params["blocks_0"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_allclose(l1, lsp, rtol=1e-4, atol=1e-6)
 
 
 def test_param_sharding_specs():
