@@ -55,7 +55,12 @@ def run(argv: list[str]) -> dict:
         return cfg
 
     if command == "model_speed_test":
-        specs = model_speed_test(cfg)
+        st = cfg.get("speed_test", {})
+        specs = model_speed_test(
+            cfg,
+            batch_size=int(st.get("batch_size", 100)),
+            test_length=int(st.get("test_length", 100)),
+        )
         return {"specs_per_second": specs}
 
     if command == "compute_norm_stats":

@@ -42,6 +42,10 @@ def default_config() -> dict:
             "transformer_block": 11,
             "out_dir": "exp_out/",
         },
+        "speed_test": {  # model_speed_test command (reference: ex_maest.py:108)
+            "batch_size": 100,
+            "test_length": 100,
+        },
         "dataset": {
             "name": "discogs",
             "sample_rate": 16000,

@@ -119,6 +119,14 @@ def test_test_command(corpus, tmp_path, capsys):
     assert 0.0 <= res["test_ap"] <= 1.0
 
 
+def test_model_speed_test_command(corpus, tmp_path):
+    res = run(["model_speed_test", "with"] + _overrides(corpus, tmp_path, [
+        "speed_test.batch_size=4", "speed_test.test_length=2",
+        "maest.pretrained=False",
+    ]))
+    assert res["specs_per_second"] > 0
+
+
 def test_compute_norm_stats(corpus, tmp_path):
     res = run(["compute_norm_stats", "with"] + _overrides(corpus, tmp_path))
     assert np.isfinite(res["mean"]) and np.isfinite(res["std"])
