@@ -137,7 +137,9 @@ def main_with_retry(attempts: int = 3, backoff_s: float = 20.0):
     for i in range(attempts):
         try:
             return main()
-        except Exception as e:  # noqa: BLE001 - retried, then re-raised
+        except (AssertionError, TypeError, ValueError, KeyError):
+            raise  # deterministic harness bugs: fail fast, keep traceback
+        except Exception as e:  # noqa: BLE001 - transient; retried then re-raised
             if i == attempts - 1:
                 raise
             print(

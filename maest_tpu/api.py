@@ -47,6 +47,13 @@ class MAEST:
         self.dtype = dtype
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if self.mesh is not None:
+            missing = {"data", "model"} - set(self.mesh.axis_names)
+            if missing:
+                raise ValueError(
+                    f"mesh must have ('data', 'model') axes (missing "
+                    f"{sorted(missing)}); build it with "
+                    "maest_tpu.parallel.mesh.make_mesh()"
+                )
             from .parallel.mesh import shard_params
 
             # flash attention runs inside a shard_map region under a mesh
@@ -143,15 +150,30 @@ class MAEST:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            # shard the batch/chunk axis over `data` when it divides,
-            # otherwise replicate (tiny inputs are not worth padding)
-            ax = "data" if x.shape[0] % self.mesh.shape["data"] == 0 else None
+            # pad the batch/chunk axis up to a multiple of the data axis so
+            # every chip does real work (an arbitrary-length track rarely
+            # chunks into an exact multiple; replicating instead would give
+            # single-chip latency), then slice the padded rows back off
+            n_data = self.mesh.shape["data"]
+            b_true = x.shape[0]
+            pad = (-b_true) % n_data
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
             x = jax.device_put(
-                x, NamedSharding(self.mesh, PartitionSpec(ax)))
+                x, NamedSharding(self.mesh, PartitionSpec("data")))
             with self.mesh:
-                return self._apply(
+                out = self._apply(
                     self.params, x, transformer_block, return_self_attention
                 )
+            if pad:
+                out = jax.tree.map(
+                    lambda a: a[:b_true]
+                    if hasattr(a, "shape") and a.ndim >= 1
+                    and a.shape[0] == b_true + pad else a,
+                    out,
+                )
+            return out
         return self._apply(
             self.params, x, transformer_block, return_self_attention
         )

@@ -32,8 +32,23 @@ def load_training_checkpoint(path: str) -> dict:
     target (returns plain arrays)."""
     import orbax.checkpoint as ocp
 
+    # NOTE: restores the full state incl. opt_state (~2x param bytes of
+    # Adam moments that select_params discards) — acceptable for an
+    # offline tool; a subset restore would need per-item handlers.
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(Path(path).absolute())
+
+
+def run_config_for(checkpoint: str) -> dict | None:
+    """The training config recorded next to the checkpoints
+    (<run_dir>/config.json, written by Trainer.__init__) — the source of
+    truth for the model geometry of this run."""
+    cfg_path = Path(checkpoint).parent.parent / "config.json"
+    if not cfg_path.exists():
+        return None
+    import json
+
+    return json.loads(cfg_path.read_text())
 
 
 def select_params(state: dict, *, swa: bool) -> dict:
@@ -52,7 +67,9 @@ def main(argv=None) -> int:
     ap.add_argument("checkpoint", help="orbax checkpoint dir (run_dir/checkpoints/<tag>)")
     ap.add_argument("--format", choices=("torch", "hf", "tf"), default="torch")
     ap.add_argument("--out", required=True, help="output file (torch) or dir (hf/tf)")
-    ap.add_argument("--arch", default="discogs-maest-30s-pw-129e")
+    ap.add_argument("--arch", default=None,
+                    help="defaults to the run's recorded config.json, then "
+                         "discogs-maest-30s-pw-129e")
     ap.add_argument("--swa", dest="swa", action="store_true", default=True,
                     help="export the SWA average (default; released "
                          "checkpoints are -swa files)")
@@ -69,12 +86,22 @@ def main(argv=None) -> int:
 
     from ..models.registry import build_config
 
-    over = {k: v for k, v in (
+    # geometry defaults come from the run's own config.json (one dir above
+    # the checkpoints) — exporting with mismatched geometry would emit a
+    # silently broken artifact (e.g. a 400-label config over a 519-row head)
+    run_cfg = run_config_for(args.checkpoint) or {}
+    maest_cfg = run_cfg.get("maest", {})
+    arch = args.arch or maest_cfg.get("arch") or "discogs-maest-30s-pw-129e"
+    over = {}
+    for key, cli_val in (
         ("n_classes", args.n_classes), ("input_t", args.input_t),
         ("embed_dim", args.embed_dim), ("depth", args.depth),
         ("num_heads", args.num_heads),
-    ) if v is not None}
-    cfg = build_config(args.arch, **over)
+    ):
+        val = cli_val if cli_val is not None else maest_cfg.get(key)
+        if val is not None:
+            over[key] = val
+    cfg = build_config(arch, **over)
 
     state = load_training_checkpoint(args.checkpoint)
     params = select_params(state, swa=args.swa)

@@ -39,12 +39,14 @@ def trained_ckpt(tmp_path_factory):
          "datamodule.sampler.epoch_len=8", "maest.n_classes=8",
          "maest.input_t=62", "maest.embed_dim=64", "maest.depth=2",
          "maest.num_heads=4", "maest.s_patchout_t=1",
-         "trainer.max_epochs=1", "trainer.devices=2",
+         "trainer.max_epochs=2", "trainer.devices=2",
          "trainer.precision=fp32", "trainer.limit_val_batches=1",
          "module.swa_epoch_start=0", "module.optimizer.warm_up_len=1",
          f"trainer.default_root_dir={root}/exp_logs"])
     runs = sorted((root / "exp_logs").iterdir())
-    return runs[-1] / "checkpoints" / "epoch-0"
+    # epoch-1: swa_params = mean(params@e0, params@e1) != params@e1, so
+    # SWA-vs-raw is a value-level difference
+    return runs[-1] / "checkpoints" / "epoch-1"
 
 
 def test_export_torch_roundtrips_through_get_maest(trained_ckpt, tmp_path):
@@ -75,15 +77,19 @@ def test_export_raw_params_differ_from_swa(trained_ckpt, tmp_path):
     state = load_training_checkpoint(str(trained_ckpt))
     raw = select_params(state, swa=False)
     swa = select_params(state, swa=True)
-    # one SWA update happened (epoch 0 with swa_epoch_start=0): averages
-    # exist and are distinct pytrees
-    assert raw is not swa
+    # two SWA updates happened (epochs 0 and 1 with swa_epoch_start=0):
+    # the running average must differ from the final raw params by value
+    raw_k = np.asarray(raw["blocks_0"]["attn"]["qkv"]["kernel"], np.float32)
+    swa_k = np.asarray(swa["blocks_0"]["attn"]["qkv"]["kernel"], np.float32)
+    assert not np.allclose(raw_k, swa_k)
 
 
 def test_export_hf_directory(trained_ckpt, tmp_path):
+    # NO geometry flags: arch/embed_dim/depth/... must come from the run's
+    # recorded config.json (exporting with mismatched geometry would emit
+    # a silently broken artifact)
     out = tmp_path / "hf"
-    assert main([str(trained_ckpt), "--format", "hf", "--out", str(out)]
-                + GEOM) == 0
+    assert main([str(trained_ckpt), "--format", "hf", "--out", str(out)]) == 0
     assert (out / "model.safetensors").exists()
     assert (out / "config.json").exists()
     assert (out / "preprocessor_config.json").exists()
