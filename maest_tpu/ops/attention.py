@@ -508,9 +508,12 @@ def _bwd(block_q, block_k, interpret, res, g):
     # VMEM-bounded split kernels.
     n_pad = _round_up(q.shape[1], 128)
     if n_pad > _FULL_K_BWD_MAX_N_PAD:
+        # block targets measured at n_pad 4608 (10-iter chained, repeated):
+        # (1152, 1152) 7.0 ms vs (256, 256) 9.2 ms (-23%) — big square
+        # blocks amortize the streamed-side refetch; 1536^2 regresses
+        # (VMEM pressure) and 2304^2 fails to compile.
         return _flash_bwd_split(q, k, v, o, lse, g,
-                                block_q=min(block_q, 256),
-                                block_k=min(block_k, 256),
+                                block_q=1152, block_k=1152,
                                 interpret=interpret)
     return _flash_bwd(q, k, v, o, lse, g, block_q=_pick_bwd_block(n_pad),
                       block_k=1 << 30, interpret=interpret)
