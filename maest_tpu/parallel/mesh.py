@@ -55,6 +55,12 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if n_devices > len(devices):
+        raise ValueError(
+            f"requested {n_devices} devices but only {len(devices)} visible "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+            "virtual CPU mesh)"
+        )
     if n_devices % model_parallel:
         raise ValueError(f"{n_devices} devices not divisible by model_parallel={model_parallel}")
     grid = np.array(devices[:n_devices]).reshape(
