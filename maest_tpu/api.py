@@ -38,7 +38,9 @@ class MAEST:
     chips — batch/chunk axis over ``data``, optional Megatron-style tensor
     parallelism over ``model`` (beyond reference scope, which is
     single-GPU at inference). Params are placed with the mesh's partition
-    specs; inputs are sharded over ``data`` when the batch divides.
+    specs; input chunk batches are padded (repeating the last chunk) up to
+    a multiple of the ``data`` axis, sharded, and sliced back after the
+    forward — every batch size shards.
     """
 
     def __init__(self, cfg: MAESTConfig, params, dtype=jnp.float32,

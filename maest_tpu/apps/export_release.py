@@ -7,7 +7,7 @@ workflow the reference splits across manual scripts
 packaging/onnx_to_tf.sh):
 
     python -m maest_tpu.apps.export_release <run_dir/checkpoints/epoch-N> \
-        --format torch|hf|tf [--swa/--no-swa] --out PATH \
+        --format torch|hf|tf|onnx [--swa/--no-swa] --out PATH \
         [--arch discogs-maest-30s-pw-129e] [config overrides ...]
 
 Formats:
@@ -51,21 +51,24 @@ def run_config_for(checkpoint: str) -> dict | None:
     return json.loads(cfg_path.read_text())
 
 
-def select_params(state: dict, *, swa: bool) -> dict:
-    """Pick SWA or raw params from a restored training state. Falls back
-    to raw params when SWA never started (swa_n == 0)."""
+def select_params(state: dict, *, swa: bool) -> tuple[dict, str]:
+    """Pick SWA or raw params from a restored training state; returns
+    (params, which) where ``which`` labels what was actually chosen. Falls
+    back to raw params when SWA never started (swa_n == 0)."""
     if swa:
         swa_n = int(np.asarray(state.get("swa_n", 0)))
         if swa_n > 0:
-            return state["swa_params"]
-    return state["params"]
+            return state["swa_params"], "swa"
+        return state["params"], "raw (swa unavailable: swa_n == 0)"
+    return state["params"], "raw"
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="maest-export-release",
                                  description=__doc__.split("\n\n")[0])
     ap.add_argument("checkpoint", help="orbax checkpoint dir (run_dir/checkpoints/<tag>)")
-    ap.add_argument("--format", choices=("torch", "hf", "tf"), default="torch")
+    ap.add_argument("--format", choices=("torch", "hf", "tf", "onnx"),
+                    default="torch")
     ap.add_argument("--out", required=True, help="output file (torch) or dir (hf/tf)")
     ap.add_argument("--arch", default=None,
                     help="defaults to the run's recorded config.json, then "
@@ -104,7 +107,7 @@ def main(argv=None) -> int:
     cfg = build_config(arch, **over)
 
     state = load_training_checkpoint(args.checkpoint)
-    params = select_params(state, swa=args.swa)
+    params, which = select_params(state, swa=args.swa)
 
     if args.format == "torch":
         from ..packaging.hf_ast import save_torch_checkpoint
@@ -115,11 +118,15 @@ def main(argv=None) -> int:
         from ..packaging.hf_ast import save_pretrained
 
         out = save_pretrained(params, cfg, args.out)
+    elif args.format == "onnx":
+        from ..packaging.export import export_onnx
+
+        out = export_onnx(params, cfg, args.out)
     else:
         from ..packaging.export import export_tf_saved_model
 
         out = export_tf_saved_model(params, cfg, args.out)
-    print(f"exported {args.format} ({'swa' if args.swa else 'raw'}) -> {out}")
+    print(f"exported {args.format} ({which}) -> {out}")
     return 0
 
 

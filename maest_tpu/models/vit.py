@@ -484,10 +484,13 @@ class MAESTNet(nn.Module):
                 kernel_init=nn.initializers.zeros, name="head_dist"
             )
             return head_linear(head_norm(cls)), head_dist(dist), features
-        # fall-through: apply head to the raw tuple element-wise is not
-        # meaningful; the reference applies head(x) to the tuple which only
-        # works for non-distilled. Treat as "mean" of cls.
-        return head_linear(head_norm(cls)), cls
+        # The reference's fall-through (head(x) on the tuple) only works for
+        # non-distilled models; a typo'd distilled_type would silently change
+        # semantics, so reject it (reference: models/maest.py:905-933).
+        raise ValueError(
+            f"unknown distilled_type {cfg.distilled_type!r}; "
+            "expected 'mean' or 'separated'"
+        )
 
 
 def init_params(cfg: MAESTConfig, rng: jax.Array, dtype=jnp.float32):

@@ -446,6 +446,23 @@ _TUNED_FWD_BLOCKS = {
 }
 
 
+def _validate_tuned_blocks(table=None):
+    """A tuned target that does not divide its pad class silently degrades
+    to 128 in ``_pick_block`` (this bit us once: bwd target 448 at pad 896
+    resolved to 128, docs/DESIGN.md) — reject such table entries at import."""
+    for n_pad, targets in (table or _TUNED_FWD_BLOCKS).items():
+        for t in targets:
+            if t % 128 or n_pad % min(t, n_pad):
+                raise AssertionError(
+                    f"tuned block target {t} is not a 128-multiple divisor "
+                    f"of pad class {n_pad}; _pick_block would silently "
+                    "degrade it to 128"
+                )
+
+
+_validate_tuned_blocks()
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash_attention_vjp(q, k, v, block_q: int, block_k: int,
                          interpret: bool):
@@ -460,7 +477,10 @@ def flash_attention(q, k, v, block_q: int | None = None,
     ``block_q``/``block_k`` default to measured per-N tuning
     (``_TUNED_FWD_BLOCKS``) with a generic fallback; pass explicit values
     to override (targets — the largest 128-multiple divisor of n_pad at or
-    below the target is used).
+    below the target is used). Explicit overrides apply to the FORWARD
+    only: the backward always uses the VMEM-budget rule
+    (``_pick_bwd_block`` / the split-kernel targets), which measured
+    strictly better than forward-tuned blocks at every pad class.
     """
     tq, tk = _TUNED_FWD_BLOCKS.get(_round_up(q.shape[1], 128), (896, 448))
     return _flash_attention_vjp(q, k, v, block_q or tq, block_k or tk,
@@ -538,7 +558,7 @@ def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     b, _, h, _ = q.shape
@@ -552,7 +572,7 @@ def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v)
 

@@ -99,8 +99,10 @@ def spec_augment(
 
 
 def roll_augment(key: jax.Array, x: jnp.ndarray, shift_range: int,
-                 axis: int = -1) -> jnp.ndarray:
-    """Random circular shift along the time axis
+                 axis: int = -1, shift: int | None = None) -> jnp.ndarray:
+    """Circular shift along the time axis: a fixed ``shift`` when given,
+    otherwise uniform in [-shift_range, shift_range]
     (reference: discogs/datamodule.py:111-124; off by default)."""
-    shift = jax.random.randint(key, (), -shift_range, shift_range + 1)
+    if shift is None:
+        shift = jax.random.randint(key, (), -shift_range, shift_range + 1)
     return jnp.roll(x, shift, axis=axis)

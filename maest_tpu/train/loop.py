@@ -58,6 +58,7 @@ def _augment_config(cfg: dict) -> AugmentConfig:
         roll=dm["roll"]["do"],
         roll_axis=dm["roll"]["axis"],
         roll_shift_range=dm["roll"]["shift_range"],
+        roll_shift=dm["roll"]["shift"],
     )
 
 
@@ -352,7 +353,7 @@ class Trainer:
             ys.append(np.asarray(batch["y"], np.float32)[:n_true])
             for name, r in res.items():
                 outs.setdefault(name, []).append(
-                    np.asarray(r["y_hat"], np.float32)[:n_true]
+                    np.asarray(r["logits"], np.float32)[:n_true]
                 )
             n += 1
             if tr["limit_val_batches"] and n >= tr["limit_val_batches"]:
@@ -363,10 +364,14 @@ class Trainer:
         metrics = {}
         for name, chunks in outs.items():
             suffix = f"_{name}" if name else ""
-            y_hat = gather_across_hosts(np.concatenate(chunks))
-            # BCE from activations (equals BCE-with-logits on the same rows)
-            p = np.clip(y_hat, 1e-7, 1 - 1e-7)
-            loss = float(-np.mean(y * np.log(p) + (1 - y) * np.log(1 - p)))
+            z = gather_across_hosts(np.concatenate(chunks))
+            # BCE with logits over the true rows, numerically stable — matches
+            # reference BCEWithLogitsLoss exactly even in saturated regimes
+            # (reference: models/module.py:90).
+            loss = float(np.mean(
+                np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z)))
+            ))
+            y_hat = 1.0 / (1.0 + np.exp(-z))
             ap, roc = macro_ap_roc(y, y_hat)
             metrics[f"{stage}_loss{suffix}"] = loss
             metrics[f"{stage}_ap{suffix}"] = ap

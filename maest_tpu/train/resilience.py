@@ -53,9 +53,13 @@ _RUNTIME_ERROR_TYPES = ("XlaRuntimeError", "JaxRuntimeError")
 
 
 def _matches(msg: str, exc: BaseException) -> bool:
-    return any(s in msg for s in _RECOVERABLE_STATUS) or (
-        isinstance(exc, (RuntimeError, OSError))
-        and any(p in msg.lower() for p in _RECOVERABLE_PHRASES)
+    # Both checks gate on runtime/IO error types: a programming error whose
+    # message merely quotes a status word (ValueError("job CANCELLED ..."))
+    # must stay fatal — retrying it burns minutes-long recompiles.
+    if not isinstance(exc, (RuntimeError, OSError)):
+        return False
+    return any(s in msg for s in _RECOVERABLE_STATUS) or any(
+        p in msg.lower() for p in _RECOVERABLE_PHRASES
     )
 
 

@@ -44,6 +44,7 @@ class AugmentConfig:
     roll: bool = False
     roll_axis: int = -1
     roll_shift_range: int = 50
+    roll_shift: int | None = None  # fixed shift overrides the random range
 
 
 def bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -63,7 +64,8 @@ def _prepare(x: jnp.ndarray, aug: AugmentConfig, key, train: bool) -> jnp.ndarra
         x = (x - aug.norm_mean) / (aug.norm_std * 2.0)
     if train and aug.roll:
         key, k_roll = jax.random.split(key)
-        x = roll_augment(k_roll, x, aug.roll_shift_range, axis=aug.roll_axis)
+        x = roll_augment(k_roll, x, aug.roll_shift_range, axis=aug.roll_axis,
+                         shift=aug.roll_shift)
     if train and aug.masking:
         x = spec_augment(
             key,
@@ -174,7 +176,8 @@ def make_eval_step(
         out = net.apply({"params": params}, x, train=False)
         logits = out[0]
         loss = bce_with_logits(logits, batch["y"])
-        res = {"loss": loss, "y_hat": jax.nn.sigmoid(logits.astype(jnp.float32))}
+        logits = logits.astype(jnp.float32)
+        res = {"loss": loss, "logits": logits, "y_hat": jax.nn.sigmoid(logits)}
         if teacher_student:
             loss_teacher = bce_with_logits(logits, batch["y_teacher"])
             res["loss_standard"] = loss

@@ -1,0 +1,113 @@
+"""Round-2 hygiene guards: config surface matches behavior, and config
+mistakes fail loudly instead of silently changing semantics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from maest_tpu.ops.attention import _validate_tuned_blocks
+from maest_tpu.ops.augment import roll_augment
+
+
+def test_roll_fixed_shift_honored():
+    """A fixed ``shift`` must override the random range (the reference
+    honors both keys, discogs/datamodule.py:111-124)."""
+    x = jnp.arange(24, dtype=jnp.float32).reshape(2, 3, 4)
+    out = roll_augment(jax.random.PRNGKey(0), x, shift_range=50, shift=1)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.roll(np.asarray(x), 1, axis=-1)
+    )
+    # shift=0 is a fixed no-op, not "fall back to random"
+    out0 = roll_augment(jax.random.PRNGKey(0), x, shift_range=50, shift=0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(x))
+
+
+def test_roll_shift_config_key_wired():
+    """The datamodule roll.shift key reaches the jitted step's AugmentConfig."""
+    import inspect
+
+    from maest_tpu.train import loop as loop_mod
+    from maest_tpu.train.steps import AugmentConfig
+
+    assert hasattr(AugmentConfig(), "roll_shift")
+    assert "roll_shift=dm[\"roll\"][\"shift\"]" in inspect.getsource(loop_mod)
+
+
+def test_unknown_distilled_type_raises():
+    """A typo'd distilled_type must not silently act as a cls-only head
+    (reference fall-through differs, models/maest.py:905-933)."""
+    from maest_tpu.models.config import MAESTConfig
+    from maest_tpu.models.vit import MAESTNet, init_params
+
+    cfg = MAESTConfig(
+        img_size=(26, 46), patch_size=16, stride=(10, 10),
+        embed_dim=64, depth=1, num_heads=4, num_classes=8,
+        distilled=True, distilled_type="maen",  # typo
+    )
+    del MAESTNet
+    with pytest.raises(ValueError, match="distilled_type"):
+        init_params(cfg, jax.random.PRNGKey(0))
+
+
+def test_tuned_block_table_validation():
+    """Non-divisor tuned targets are an error at table-definition time, not
+    a silent degradation to block 128 inside _pick_block."""
+    _validate_tuned_blocks()  # shipped table must be clean
+    with pytest.raises(AssertionError, match="silently"):
+        _validate_tuned_blocks({896: (896, 448)})  # 448 does not divide 896
+    with pytest.raises(AssertionError):
+        _validate_tuned_blocks({1152: (1100, 384)})  # not a 128-multiple
+    _validate_tuned_blocks({1152: (2048, 384)})  # target > pad is fine
+
+
+def test_eval_step_returns_logits():
+    """Eval metrics must be computable from logits (reference BCE-with-
+    logits, models/module.py:90), not from clipped activations."""
+    from maest_tpu.models.config import MAESTConfig
+    from maest_tpu.models.vit import MAESTNet, init_params
+    from maest_tpu.train.state import TrainState, make_optimizer
+    from maest_tpu.train.steps import AugmentConfig, bce_with_logits, make_eval_step
+
+    cfg = MAESTConfig(
+        img_size=(26, 46), patch_size=16, stride=(10, 10),
+        embed_dim=64, depth=1, num_heads=4, num_classes=8, distilled=True,
+    )
+    net = MAESTNet(cfg, dtype=jnp.float32)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(lr_schedule=1e-3, adamw=True)
+    state = TrainState.create(params, tx)
+    step = make_eval_step(net, AugmentConfig(masking=False), with_swa=False)
+    rng = np.random.default_rng(0)
+    batch = {
+        "x": jnp.asarray(rng.standard_normal((2, 26, 46)), jnp.float32),
+        "y": jnp.asarray((rng.random((2, 8)) > 0.5).astype(np.float32)),
+    }
+    res = step(state, batch)[""]
+    assert "logits" in res
+    z = np.asarray(res["logits"], np.float32)
+    np.testing.assert_allclose(
+        np.asarray(res["y_hat"]), 1.0 / (1.0 + np.exp(-z)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(res["loss"]),
+        float(bce_with_logits(jnp.asarray(z), batch["y"])),
+        rtol=1e-6,
+    )
+
+
+def test_select_params_reports_fallback():
+    """--swa with swa_n == 0 must be labeled as a raw export."""
+    from maest_tpu.apps.export_release import select_params
+
+    state = {"params": {"w": np.ones(2)}, "swa_params": {"w": np.zeros(2)},
+             "swa_n": 0}
+    params, which = select_params(state, swa=True)
+    assert "raw" in which and "unavailable" in which
+    np.testing.assert_array_equal(params["w"], np.ones(2))
+
+    state["swa_n"] = 3
+    params, which = select_params(state, swa=True)
+    assert which == "swa"
+    np.testing.assert_array_equal(params["w"], np.zeros(2))

@@ -63,7 +63,8 @@ def test_export_torch_roundtrips_through_get_maest(trained_ckpt, tmp_path):
                   checkpoint=str(out), n_classes=8, input_t=62,
                   embed_dim=64, depth=2, num_heads=4)
     state = load_training_checkpoint(str(trained_ckpt))
-    swa = select_params(state, swa=True)
+    swa, which = select_params(state, swa=True)
+    assert which == "swa"
     got = np.asarray(m.params["head_linear"]["kernel"], np.float32)
     want = np.asarray(swa["head_linear"]["kernel"], np.float32)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
@@ -75,8 +76,8 @@ def test_export_torch_roundtrips_through_get_maest(trained_ckpt, tmp_path):
 
 def test_export_raw_params_differ_from_swa(trained_ckpt, tmp_path):
     state = load_training_checkpoint(str(trained_ckpt))
-    raw = select_params(state, swa=False)
-    swa = select_params(state, swa=True)
+    raw, _ = select_params(state, swa=False)
+    swa, _ = select_params(state, swa=True)
     # two SWA updates happened (epochs 0 and 1 with swa_epoch_start=0):
     # the running average must differ from the final raw params by value
     raw_k = np.asarray(raw["blocks_0"]["attn"]["qkv"]["kernel"], np.float32)

@@ -176,7 +176,8 @@ def test_api_inference_on_mesh_matches_single_device():
     out = np.asarray(sharded(x)[0], np.float32)
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
-    # odd batch (not divisible by the data axis) replicates instead
+    # odd batch (not divisible by the data axis) pads with the repeated
+    # last chunk, shards, and slices back — results must be unchanged
     x3 = rng.standard_normal((3, 96, 62)).astype(np.float32)
     np.testing.assert_allclose(
         np.asarray(sharded(x3)[0], np.float32),

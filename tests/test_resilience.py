@@ -36,6 +36,11 @@ def test_is_recoverable_classification():
     assert not is_recoverable(XlaRuntimeError("RESOURCE_EXHAUSTED: OOM"))
     # status codes match case-sensitively ('internal' prose must not trip)
     assert not is_recoverable(RuntimeError("internal logic error"))
+    # programming-error types stay fatal even when the message quotes a
+    # status word — only runtime/IO types get the status-substring check
+    assert not is_recoverable(ValueError("job CANCELLED by scheduler"))
+    assert not is_recoverable(KeyError("ABORTED"))
+    assert is_recoverable(RuntimeError("job CANCELLED by scheduler"))
 
 
 def test_latest_checkpoint_picks_newest_epoch(tmp_path):
