@@ -1,0 +1,76 @@
+"""Full-geometry (ViT-B, 30 s) fp32 parity gate.
+
+The tiny-geometry tests (test_torch_parity.py) prove the conversion map;
+this gate proves the numerics at the shipped scale: the fp32 oracle tier
+(exact gelu + XLA attention) must match the independent torch oracle to
+<1e-3 sigmoid at embed 768 / depth 12 / N=1676 — the credible half of the
+BASELINE.md checkpoint-fidelity gate while the release weights are
+unavailable in-image (reference math: models/maest.py:634-933).
+
+The fixture tests/golden/vitb_30s_logits.npz (scripts/make_golden_logits.py)
+pins both our logits and the torch oracle's for seed 20260817, so future
+rounds regression-test full-scale numerics without torch.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+GOLDEN = Path(__file__).parent / "golden" / "vitb_30s_logits.npz"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    if not GOLDEN.exists():
+        pytest.skip("golden fixture missing — run scripts/make_golden_logits.py")
+    return np.load(GOLDEN)
+
+
+def test_golden_fixture_torch_agreement(golden):
+    """The pinned pair itself documents <1e-3 sigmoid parity at full scale."""
+    ours = golden["logits"].astype(np.float64)
+    ref = golden["torch_logits"].astype(np.float64)
+    sig = 1 / (1 + np.exp(-ours)) - 1 / (1 + np.exp(-ref))
+    assert np.abs(sig).max() < 1e-3
+    assert ours.shape == (2, 400)
+
+
+def test_full_geometry_forward_matches_golden(golden):
+    """Recompute the fp32 oracle forward at full ViT-B scale and hold it to
+    the pinned fixture (catches conversion/model regressions) AND to the
+    torch oracle logits (keeps the parity claim live, not just archived)."""
+    from torch_oracle import make_state  # noqa: F401 (same module as generator)
+
+    from maest_tpu.checkpoints import merge_params, torch_to_jax_params
+    from maest_tpu.models.registry import build_config
+    from maest_tpu.models.vit import MAESTNet, init_params
+
+    cfg = build_config("discogs-maest-30s-pw-129e")
+    rng = np.random.default_rng(int(golden["seed"]))
+    sd = make_state(rng, cfg)
+    x = rng.standard_normal((2, 1, *cfg.img_size)).astype("float32") * 0.1
+
+    params = merge_params(
+        init_params(cfg, jax.random.PRNGKey(0)),
+        torch_to_jax_params({k: v.numpy() for k, v in sd.items()}, cfg),
+    )
+    net = MAESTNet(cfg)  # fp32 + exact gelu + XLA attention = oracle tier
+    xh = jnp.asarray(x).transpose(0, 2, 3, 1)
+    ours = np.asarray(
+        jax.jit(lambda p, x: net.apply({"params": p}, x, train=False)[0])(
+            params, xh
+        ),
+        np.float32,
+    )
+
+    # bit-regression vs the pinned run (same platform/dtype: tight)
+    np.testing.assert_allclose(ours, golden["logits"], rtol=1e-4, atol=1e-4)
+
+    # live parity vs the stored torch oracle at the fidelity gate
+    ref = golden["torch_logits"].astype(np.float64)
+    sig = 1 / (1 + np.exp(-ours.astype(np.float64))) - 1 / (1 + np.exp(-ref))
+    assert np.abs(sig).max() < 1e-3
