@@ -9,11 +9,11 @@ producing a TF SavedModel / frozen PB whose signature is:
   output ``activations``   sigmoid(logits)
   output ``layer_{i}_tokens`` for every transformer block i
 
-The TPU-native build has no ONNX hop: ``jax2tf`` stages the *same* XLA
-program (mel-normalized input -> ViT -> heads) into a TF function, so the
-exported graph is numerically identical to the JAX one. ONNX export is
-gated: the ``onnx`` package is not in this image; use the TF SavedModel +
-``tf2onnx`` offline where ONNX is required.
+The TPU-native build has no ONNX hop for TF: ``jax2tf`` stages the *same*
+XLA program (mel-normalized input -> ViT -> heads) into a TF function, so
+the exported graph is numerically identical to the JAX one. The ONNX
+artifact itself is produced by ``export_onnx`` (torch-mirror export, see
+``onnx_export.py``) with the same interface names.
 """
 
 from __future__ import annotations
@@ -97,17 +97,15 @@ def export_tf_saved_model(
     return out_dir
 
 
-def export_onnx(*args, **kwargs):  # pragma: no cover
-    """ONNX export is not available in this image (no ``onnx`` package).
+def export_onnx(params, cfg: MAESTConfig, path: str, *, opset: int = 17) -> str:
+    """ONNX artifact with the Essentia deployment signature — one offline
+    step instead of the reference's optimum-cli + graph-surgery pipeline
+    (reference: packaging/convert_to_onnx.sh, packaging/onnx_to_tf.sh).
+    See ``maest_tpu.packaging.onnx_export`` for how the export works
+    without the ``onnx`` package."""
+    from .onnx_export import export_onnx as _export
 
-    Parity path: ``export_tf_saved_model`` + offline ``tf2onnx`` gives the
-    artifact the reference builds with optimum-cli
-    (reference: packaging/convert_to_onnx.sh).
-    """
-    raise NotImplementedError(
-        "onnx is not installed; export a TF SavedModel via "
-        "export_tf_saved_model() and convert offline with tf2onnx."
-    )
+    return _export(params, cfg, path, opset=opset)
 
 
 def load_tf_and_check(saved_dir: str, mel: np.ndarray) -> dict:
