@@ -32,6 +32,32 @@ from .config import MAESTConfig
 _DENSE_INIT = nn.initializers.truncated_normal(0.02)
 
 
+def _tier_precision(dtype):
+    """Matmul/conv precision tied to the numerics tier.
+
+    XLA's DEFAULT precision computes fp32 contractions with bf16 mantissas
+    on TPU — and (measured) the CPU backend's convolution does the same
+    (patch-conv error 3.9e-4 default vs 3.1e-8 HIGHEST against fp64).
+    The fp32 parity-oracle tier therefore pins HIGHEST everywhere so it is
+    a true fp32 program on every backend; the bf16 production tier keeps
+    the fast default."""
+    return None if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+
+def _layer_norm(*, epsilon, dtype, name):
+    """LayerNorm with the variance algorithm tied to the numerics tier.
+
+    flax's default fast variance (E[x^2] - E[x]^2) loses ~13x precision to
+    cancellation on residual streams with large means (measured 1.7e-5 vs
+    1.3e-6 per-LN error against fp64; through 26 norms this was the bulk of
+    a 1.2e-2 full-scale logit gap vs the torch oracle). The fp32 parity
+    tier therefore uses the two-pass variance — matching torch
+    nn.LayerNorm — while the bf16 production path keeps the cheaper fast
+    variance (its rounding floor dwarfs the cancellation term)."""
+    return nn.LayerNorm(epsilon=epsilon, dtype=dtype, name=name,
+                        use_fast_variance=dtype == jnp.bfloat16)
+
+
 class Mlp(nn.Module):
     """Transformer MLP (reference: models/maest.py:183-208).
 
@@ -53,10 +79,12 @@ class Mlp(nn.Module):
         if mode == "auto":
             mode = "tanh" if self.dtype == jnp.bfloat16 else "exact"
         x = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                     precision=_tier_precision(self.dtype),
                      kernel_init=_DENSE_INIT, name="fc1")(x)
         x = nn.gelu(x, approximate=mode == "tanh")
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         x = nn.Dense(self.out_dim, dtype=self.dtype,
+                     precision=_tier_precision(self.dtype),
                      kernel_init=_DENSE_INIT, name="fc2")(x)
         x = nn.Dropout(self.drop_rate, deterministic=deterministic)(x)
         return x
@@ -92,6 +120,7 @@ class Attention(nn.Module):
         scale = head_dim**-0.5
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
+                       precision=_tier_precision(self.dtype),
                        kernel_init=_DENSE_INIT, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, d)
@@ -111,13 +140,17 @@ class Attention(nn.Module):
             out = out.reshape(b, n, c)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=_tier_precision(self.dtype))
             attn = jax.nn.softmax(attn * scale, axis=-1)
             attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
             attn = attn.astype(self.dtype)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, c)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                             precision=_tier_precision(self.dtype)
+                             ).reshape(b, n, c)
 
         out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=_DENSE_INIT,
+                       precision=_tier_precision(self.dtype),
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
@@ -168,7 +201,7 @@ class Block(nn.Module):
     def __call__(self, x, deterministic: bool = True,
                  return_self_attention: bool = False):
         # flags are positional (not kw-only) so nn.remat can mark them static
-        norm1 = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm1")
+        norm1 = _layer_norm(epsilon=self.eps, dtype=self.dtype, name="norm1")
         attn = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
@@ -188,7 +221,7 @@ class Block(nn.Module):
             x + drop_path(y, self.drop_path_rate, deterministic, dp_rng1))
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.drop,
                 dtype=self.dtype, gelu_approx=self.gelu_approx, name="mlp")(
-            nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x),
+            _layer_norm(epsilon=self.eps, dtype=self.dtype, name="norm2")(x),
             deterministic=deterministic,
         )
         x = x + drop_path(y, self.drop_path_rate, deterministic, dp_rng2)
@@ -247,6 +280,7 @@ class MAESTNet(nn.Module):
                 strides=cfg.stride,
                 padding="VALID",
                 dtype=self.dtype,
+                precision=_tier_precision(self.dtype),
                 name="patch_embed_proj",
             )(x)  # (B, F', T', E)
         _, f_dim, t_dim, _ = x.shape
@@ -401,7 +435,7 @@ class MAESTNet(nn.Module):
                 x = blk(x, not train)
                 if return_layer_tokens:
                     layer_tokens.append(x)
-            x = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="norm")(x)
+            x = _layer_norm(epsilon=eps, dtype=self.dtype, name="norm")(x)
             if cfg.distilled:
                 feats = (x[:, 0], x[:, 1])
             else:
@@ -452,6 +486,7 @@ class MAESTNet(nn.Module):
         out = jnp.einsum(
             "bftk,fke->bfte", patches.astype(self.dtype), w.astype(self.dtype),
             preferred_element_type=self.dtype,
+            precision=_tier_precision(self.dtype),
         )
         return out + bias[None, :, None, :].astype(self.dtype)
 
@@ -461,11 +496,12 @@ class MAESTNet(nn.Module):
         # torch nn.LayerNorm default eps (1e-5) — the head norm is constructed
         # without the 1e-6 override used by the blocks (reference:
         # models/maest.py:570-571 vs :499).
-        head_norm = nn.LayerNorm(
+        head_norm = _layer_norm(
             epsilon=1e-5, dtype=self.dtype, name="head_norm"
         )
         # head weights start at zero (reference: models/maest.py:951-953)
         head_linear = nn.Dense(cfg.num_classes, dtype=self.dtype,
+                               precision=_tier_precision(self.dtype),
                                kernel_init=nn.initializers.zeros,
                                name="head_linear")
 
@@ -481,6 +517,7 @@ class MAESTNet(nn.Module):
             features = (cls + dist) / 2
             head_dist = nn.Dense(
                 cfg.num_classes, dtype=self.dtype,
+                precision=_tier_precision(self.dtype),
                 kernel_init=nn.initializers.zeros, name="head_dist"
             )
             return head_linear(head_norm(cls)), head_dist(dist), features

@@ -1,0 +1,369 @@
+"""Round-2 attention decomposition on the real chip.
+
+Times kernel VARIANTS at the production 30 s shapes to attribute the step
+time between MXU matmuls, VPU softmax, and DMA/grid overhead — the
+trace-backed evidence VERDICT r1 asked for:
+
+  flash      production kernel (online softmax, running max)
+  mxu_only   same grid/DMA/matmuls, softmax replaced by a bf16 cast —
+             isolates matmul+pipeline time; (flash - mxu_only) = VPU cost
+             that Mosaic failed to overlap
+  noexp_max  exp2 softmax with a constant shift instead of the running
+             max (saves the max-reduce + correction multiplies)
+  novmax     like flash but block max only (no cross-block running max
+             correction of acc)
+  xla        attention_reference (materializing XLA softmax)
+
+Usage: python scripts/attn_profile_r2.py [--iters 30] [--batch 32]
+       [--shapes 30s,30s-train] [--blocks 256,896,1792]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+_BIG_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+from maest_tpu.ops import attention as A  # noqa: E402
+
+ARCH_N = {"5s": 272, "10s": 551, "20s": 1118, "30s": 1676,
+          "30s-train": 866}
+
+
+def _mxu_only_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale, n_real, block_k):
+    """Matmuls + pipeline only: softmax -> bf16 cast (measurement rig)."""
+    q = q_ref[0]
+    bq, d = q.shape
+    n_pad = kt_ref.shape[2]
+    acc = jnp.zeros((bq, d), jnp.float32)
+    for jb in range(n_pad // block_k):
+        base = jb * block_k
+        s = jnp.dot(q, kt_ref[0, :, base:base + block_k],
+                    preferred_element_type=jnp.float32) * scale
+        acc = acc + jnp.dot(s.astype(v_ref.dtype),
+                            v_ref[0, base:base + block_k, :],
+                            preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _noexp_max_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale, n_real,
+                      block_k):
+    """Softmax with constant shift: no running max, no correction mults.
+    Valid while scale*|q.k|*log2e stays well under fp32 exp2 range."""
+    q = q_ref[0]
+    bq, d = q.shape
+    n_pad = kt_ref.shape[2]
+    sl = scale * A._LOG2E
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+    for jb in range(n_pad // block_k):
+        base = jb * block_k
+        s = jnp.dot(q, kt_ref[0, :, base:base + block_k],
+                    preferred_element_type=jnp.float32) * sl
+        if base + block_k > n_real:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + base
+            s = jnp.where(pos < n_real, s, A._NEG_INF)
+        p = jnp.exp2(s)
+        l = l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc + jnp.dot(p.astype(v_ref.dtype),
+                            v_ref[0, base:base + block_k, :],
+                            preferred_element_type=jnp.float32)
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+def _novmax_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale, n_real, block_k):
+    """Per-block max without cross-block correction (measurement rig:
+    quantifies the running-max bookkeeping specifically)."""
+    q = q_ref[0]
+    bq, d = q.shape
+    n_pad = kt_ref.shape[2]
+    sl = scale * A._LOG2E
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+    for jb in range(n_pad // block_k):
+        base = jb * block_k
+        s = jnp.dot(q, kt_ref[0, :, base:base + block_k],
+                    preferred_element_type=jnp.float32) * sl
+        if base + block_k > n_real:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + base
+            s = jnp.where(pos < n_real, s, A._NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = l + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc + jnp.dot(p.astype(v_ref.dtype),
+                            v_ref[0, base:base + block_k, :],
+                            preferred_element_type=jnp.float32)
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+def _bf16_scores_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale, n_real,
+                        block_k):
+    """Scores emitted in bf16 straight from the MXU (halves the dominant
+    VMEM traffic: the (bq, bk) score matrix write+reads). scale*log2(e) is
+    pre-folded into q by the caller; the max is taken on the bf16 scores
+    so exp2 reads them once."""
+    q = q_ref[0]
+    bq, d = q.shape
+    n_pad = kt_ref.shape[2]
+
+    m = jnp.full((bq, 1), A._NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+    for jb in range(n_pad // block_k):
+        base = jb * block_k
+        # fp32 MXU accumulation (Mosaic requirement) rounded to bf16 on the
+        # way out — the cast is the dot's only consumer, so the fp32 matrix
+        # never round-trips VMEM
+        s = jnp.dot(q, kt_ref[0, :, base:base + block_k],
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        if base + block_k > n_real:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + base
+            s = jnp.where(pos < n_real, s, jnp.bfloat16(A._NEG_INF))
+        m_new = jnp.maximum(m, jnp.max(s.astype(jnp.float32), axis=-1,
+                                       keepdims=True))
+        corr = jnp.exp2(m - m_new)
+        p = jnp.exp2(s.astype(jnp.float32) - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jnp.dot(
+            p.astype(v_ref.dtype), v_ref[0, base:base + block_k, :],
+            preferred_element_type=jnp.float32)
+        m = m_new
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+def _gh_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale, n_real, block_k):
+    """G heads per program: amortizes the measured ~15-20 us per-program
+    fixed cost (probes: same dots at 24% MXU with 1x work vs 65% with 8x
+    work per program). Identical math to _attn_kernel per head."""
+    g = q_ref.shape[1]
+    n_pad = kt_ref.shape[3]
+    sl = scale * A._LOG2E
+    for h in range(g):
+        q = q_ref[0, h]
+        bq, d = q.shape
+        m = jnp.full((bq, 1), A._NEG_INF, jnp.float32)
+        l = jnp.zeros((bq, 1), jnp.float32)
+        acc = jnp.zeros((bq, d), jnp.float32)
+        for jb in range(n_pad // block_k):
+            base = jb * block_k
+            s = jnp.dot(q, kt_ref[0, h, :, base:base + block_k],
+                        preferred_element_type=jnp.float32) * sl
+            if base + block_k > n_real:
+                pos = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, block_k), 1) + base
+                s = jnp.where(pos < n_real, s, A._NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            corr = jnp.exp2(m - m_new)
+            p = jnp.exp2(s - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jnp.dot(
+                p.astype(v_ref.dtype), v_ref[0, h, base:base + block_k, :],
+                preferred_element_type=jnp.float32)
+            m = m_new
+        out_ref[0, h] = (acc / l).astype(out_ref.dtype)
+
+
+def time_gh(n: int, n_pad: int, g: int, bk: int, *, batch: int, heads: int,
+            iters: int) -> float:
+    rng = np.random.default_rng(0)
+    shape = (batch, n, heads, 64)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.bfloat16)
+               for _ in range(3))
+    bh = batch * heads
+
+    def call(q, k, v):
+        qf, kf, vf = A._flatten_pad(n_pad, q, k, v)
+        kt = jnp.swapaxes(kf, 1, 2)
+        qg = qf.reshape(bh // g, g, n_pad, 64)
+        ktg = kt.reshape(bh // g, g, 64, n_pad)
+        vg = vf.reshape(bh // g, g, n_pad, 64)
+        (out,) = pl.pallas_call(
+            functools.partial(_gh_kernel, scale=64**-0.5, n_real=n,
+                              block_k=bk),
+            out_shape=[jax.ShapeDtypeStruct((bh // g, g, n_pad, 64),
+                                            q.dtype)],
+            grid=(bh // g,),
+            in_specs=[
+                pl.BlockSpec((1, g, n_pad, 64), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, g, 64, n_pad), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, g, n_pad, 64), lambda i: (i, 0, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec((1, g, n_pad, 64),
+                                    lambda i: (i, 0, 0, 0))],
+            compiler_params=_BIG_VMEM,
+        )(qg, ktg, vg)
+        return A._unflatten(out.reshape(bh, n_pad, 64), batch, n, heads, 64)
+
+    @jax.jit
+    def chained(q, k, v):
+        o = call(q, k, v)
+        return o, o
+
+    o, _ = chained(q, k, v)
+    _ = float(o[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    x = q
+    for _ in range(iters):
+        o, x = chained(x, k, v)
+    _ = float(o[0, 0, 0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+KERNELS = {
+    "flash": A._attn_kernel,
+    "mxu_only": _mxu_only_kernel,
+    "noexp_max": _noexp_max_kernel,
+    "novmax": _novmax_kernel,
+    "bf16s": _bf16_scores_kernel,
+}
+PREFOLD_SCALE = {"bf16s"}
+
+
+def time_variant(kernel_name: str, n: int, n_pad: int, bq: int, bk: int, *,
+                 batch: int, heads: int, iters: int) -> float:
+    rng = np.random.default_rng(0)
+    shape = (batch, n, heads, 64)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape) * 0.1, jnp.bfloat16)
+               for _ in range(3))
+
+    if kernel_name == "xla":
+        def call(q, k, v):
+            return A.attention_reference(q, k, v)
+    else:
+        kern = KERNELS[kernel_name]
+
+        def call(q, k, v):
+            qf, kf, vf = A._flatten_pad(n_pad, q, k, v)
+            if kernel_name in PREFOLD_SCALE:
+                qf = (qf.astype(jnp.float32) * (64**-0.5 * A._LOG2E)
+                      ).astype(qf.dtype)
+            kt = jnp.swapaxes(kf, 1, 2)
+            (out,) = pl.pallas_call(
+                functools.partial(kern, scale=64**-0.5, n_real=n,
+                                  block_k=bk),
+                out_shape=[jax.ShapeDtypeStruct(
+                    (batch * heads, n_pad, 64), q.dtype)],
+                grid=(batch * heads, n_pad // bq),
+                in_specs=[
+                    pl.BlockSpec((1, bq, 64), lambda i, j: (i, j, 0)),
+                    pl.BlockSpec((1, 64, n_pad), lambda i, j: (i, 0, 0)),
+                    pl.BlockSpec((1, n_pad, 64), lambda i, j: (i, 0, 0)),
+                ],
+                out_specs=[pl.BlockSpec((1, bq, 64), lambda i, j: (i, j, 0))],
+                compiler_params=_BIG_VMEM,
+            )(qf, kt, vf)
+            return A._unflatten(out, batch, n, heads, 64)
+
+    @jax.jit
+    def chained(q, k, v):
+        o = call(q, k, v)
+        return o, o
+
+    o, _ = chained(q, k, v)
+    _ = float(o[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    x = q
+    for _ in range(iters):
+        o, x = chained(x, k, v)
+    _ = float(o[0, 0, 0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--shapes", default="30s")
+    ap.add_argument("--blocks", default="256")
+    ap.add_argument("--variants", default="flash,mxu_only,noexp_max,novmax,xla")
+    ap.add_argument("--check", action="store_true",
+                    help="print per-variant max|diff| vs fp32 XLA attention")
+    args = ap.parse_args()
+
+    if args.check:
+        rng = np.random.default_rng(1)
+        n = ARCH_N[args.shapes.split(",")[0]]
+        n_pad = (n + 127) // 128 * 128
+        shape = (2, n, 12, 64)
+        q, k, v = (jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+                   for _ in range(3))
+        ref = A.attention_reference(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32))
+        for variant in args.variants.split(","):
+            if variant == "xla":
+                continue
+            kern = KERNELS[variant]
+            qf, kf, vf = A._flatten_pad(n_pad, q, k, v)
+            if variant in PREFOLD_SCALE:
+                qf = (qf.astype(jnp.float32) * (64**-0.5 * A._LOG2E)
+                      ).astype(qf.dtype)
+            kt = jnp.swapaxes(kf, 1, 2)
+            (out,) = pl.pallas_call(
+                functools.partial(kern, scale=64**-0.5, n_real=n,
+                                  block_k=256),
+                out_shape=[jax.ShapeDtypeStruct((24, n_pad, 64), q.dtype)],
+                grid=(24, 1),
+                in_specs=[
+                    pl.BlockSpec((1, n_pad, 64), lambda i, j: (i, 0, 0)),
+                    pl.BlockSpec((1, 64, n_pad), lambda i, j: (i, 0, 0)),
+                    pl.BlockSpec((1, n_pad, 64), lambda i, j: (i, 0, 0)),
+                ],
+                out_specs=[pl.BlockSpec((1, n_pad, 64),
+                                        lambda i, j: (i, 0, 0))],
+            )(qf, kt, vf)
+            got = A._unflatten(out, 2, n, 12, 64).astype(jnp.float32)
+            d = float(jnp.max(jnp.abs(got - ref)))
+            print(f"  check {variant:10s} max|diff| vs fp32 XLA: {d:.3e}",
+                  flush=True)
+        return
+
+    for name in args.shapes.split(","):
+        n = ARCH_N[name]
+        n_pad = (n + 127) // 128 * 128
+        bq = n_pad  # production single-q-block choice at these pads
+        flops = 2 * 2 * args.batch * args.heads * n_pad * n_pad * 64
+        print(f"== {name} N={n} pad={n_pad} bq={bq} "
+              f"({flops / 1e9:.0f} GFLOP/call) ==", flush=True)
+        for bk_s in args.blocks.split(","):
+            bk = int(bk_s)
+            if n_pad % bk:
+                continue
+            for variant in args.variants.split(","):
+                if variant == "xla" and bk != int(args.blocks.split(",")[0]):
+                    continue
+                if variant.startswith("gh"):
+                    ms = time_gh(n, n_pad, int(variant[2:]), bk,
+                                 batch=args.batch, heads=args.heads,
+                                 iters=args.iters)
+                    eff = flops / (ms / 1e3) / 1e12
+                    print(f"  bk={bk:5d} {variant:10s} {ms:7.2f} ms "
+                          f"{eff:6.1f} TFLOP/s ({eff / 197 * 100:4.1f}% MXU)",
+                          flush=True)
+                    continue
+                ms = time_variant(variant, n, n_pad, bq, bk,
+                                  batch=args.batch, heads=args.heads,
+                                  iters=args.iters)
+                eff = flops / (ms / 1e3) / 1e12
+                print(f"  bk={bk:5d} {variant:10s} {ms:7.2f} ms "
+                      f"{eff:6.1f} TFLOP/s ({eff / 197 * 100:4.1f}% MXU)",
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()

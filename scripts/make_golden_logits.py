@@ -14,7 +14,12 @@ import sys
 import time
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend: JAX_PLATFORMS alone is not enough — the axon TPU
+# relay plugin grabs the backend unless its pool env is cleared too, and a
+# TPU run would bake bf16-precision matmuls into the "fp32" fixture
+# (measured: 1.2e-2 logit error vs the fp64 oracle on axon, 1e-6 on CPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 

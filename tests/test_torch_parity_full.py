@@ -67,8 +67,11 @@ def test_full_geometry_forward_matches_golden(golden):
         np.float32,
     )
 
-    # bit-regression vs the pinned run (same platform/dtype: tight)
-    np.testing.assert_allclose(ours, golden["logits"], rtol=1e-4, atol=1e-4)
+    # regression vs the pinned run. Not bit-tight: XLA fusion order differs
+    # between the single-device generator env and the 8-virtual-device test
+    # env (~2e-4 observed); 5e-4 still catches precision-tier regressions
+    # like default-precision matmuls (1.2e-2, the round-2 bug this guards).
+    np.testing.assert_allclose(ours, golden["logits"], atol=5e-4)
 
     # live parity vs the stored torch oracle at the fidelity gate
     ref = golden["torch_logits"].astype(np.float64)
