@@ -33,23 +33,26 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
 
+# Grouped (g-heads-per-program) kernels exceed Mosaic's default 16 MB
+# scoped-vmem guard (g=12 backward: 21.4 MB demand); v5e has 128 MB VMEM,
+# so raise the guard for those calls only.
+_GROUPED_VMEM = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
-def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, lse_ref=None, *, scale: float,
-                 n_real: int, block_k: int):
-    """One (batch*head, q-block) program: online-softmax flash attention.
 
-    q_ref: (1, block_q, d); kt_ref: (1, d, n_pad); v_ref: (1, n_pad, d).
-    Keys >= n_real are masked out (sequence padding). Also emits the
-    per-row log2-sum-exp (``lse_ref``, (1, block_q)) consumed by the
-    backward kernel's softmax reconstruction.
+def _attn_body(q, load_kt, load_v, v_dtype, *, scale: float, n_real: int,
+               block_k: int, n_pad: int):
+    """Online-softmax flash attention for one head's q block.
+
+    ``load_kt(base)`` / ``load_v(base)`` return the (d, block_k) /
+    (block_k, d) key/value slabs starting at key ``base``. Returns
+    (out (bq, d) fp32-normalized, lse (bq,) log2-sum-exp).
     """
-    q = q_ref[0]
     bq, d = q.shape
-    n_pad = kt_ref.shape[2]
     sl = scale * _LOG2E
 
     m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
@@ -59,8 +62,7 @@ def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, lse_ref=None, *, scale: float,
     for jb in range(n_pad // block_k):
         base = jb * block_k
         s = jnp.dot(
-            q, kt_ref[0, :, base:base + block_k],
-            preferred_element_type=jnp.float32,
+            q, load_kt(base), preferred_element_type=jnp.float32
         ) * sl  # (bq, block_k)
         if base + block_k > n_real:
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + base
@@ -70,14 +72,52 @@ def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, lse_ref=None, *, scale: float,
         p = jnp.exp2(s - m_new)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * corr + jnp.dot(
-            p.astype(v_ref.dtype), v_ref[0, base:base + block_k, :],
+            p.astype(v_dtype), load_v(base),
             preferred_element_type=jnp.float32,
         )
         m = m_new
 
-    out_ref[0] = (acc / l).astype(out_ref.dtype)
+    return acc / l, (m + jnp.log2(l))[:, 0]
+
+
+def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, lse_ref=None, *, scale: float,
+                 n_real: int, block_k: int):
+    """One program of the flash forward.
+
+    Ungrouped: q_ref (1, block_q, d); kt_ref (1, d, n_pad); v_ref
+    (1, n_pad, d) — one (batch*head, q-block) program. Grouped (4-d refs,
+    leading group dim): one program handles ``g`` whole heads back to
+    back, amortizing per-program pipeline overhead for the small-N pad
+    classes (measured -12% at pad 384, B=100). Keys >= n_real are masked
+    out (sequence padding). ``lse_ref`` (per-row log2-sum-exp) feeds the
+    backward kernel's softmax reconstruction.
+    """
+    if q_ref.ndim == 4:  # grouped: (1, g, bq, d) etc.
+        n_pad = kt_ref.shape[3]
+        for h in range(q_ref.shape[1]):
+            out, lse = _attn_body(
+                q_ref[0, h],
+                lambda base, h=h: kt_ref[0, h, :, base:base + block_k],
+                lambda base, h=h: v_ref[0, h, base:base + block_k, :],
+                v_ref.dtype, scale=scale, n_real=n_real, block_k=block_k,
+                n_pad=n_pad,
+            )
+            out_ref[0, h] = out.astype(out_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[0, h, 0] = lse
+        return
+
+    n_pad = kt_ref.shape[2]
+    out, lse = _attn_body(
+        q_ref[0],
+        lambda base: kt_ref[0, :, base:base + block_k],
+        lambda base: v_ref[0, base:base + block_k, :],
+        v_ref.dtype, scale=scale, n_real=n_real, block_k=block_k,
+        n_pad=n_pad,
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
     if lse_ref is not None:  # only the autodiff path pays for the lse emit
-        lse_ref[0, 0] = (m + jnp.log2(l))[:, 0]
+        lse_ref[0, 0] = lse
 
 
 def _round_up(x: int, m: int) -> int:
@@ -92,6 +132,31 @@ def _pick_block(n_pad: int, target: int) -> int:
         if cand <= target and n_pad % cand == 0:
             best = cand
     return best
+
+
+# Heads-per-program for single-q-block pad classes, keyed by n_pad.
+# Rationale: small sequences spawn thousands of tiny programs (10s
+# pretrain at B=100: 1200 programs of 38 MFLOP) and folding g heads into
+# one program measured -12% on the ISOLATED kernel (pad 384, B=100,
+# g=12). Both tables nevertheless ship EMPTY: in full-model composition
+# the win inverts — interleaved 3-round A/Bs measured 5s-eval inference
+# 16.8 vs 16.25 ms/fwd and 10s B100 train 218 vs 215 ms with grouping on,
+# the XLA-side (bh) -> (bh/g, g) relayouts around the pallas_call costing
+# more than the in-kernel amortization saves (backward worse still: the
+# fp32 dk/dv outputs triple per-program VMEM and starve double-buffering,
+# 10s B100 step 217 -> 205 ms when disabled). The mechanism stays tested
+# (tests/test_flash_attention.py) for future shapes where it may win.
+_TUNED_FWD_GROUP: dict[int, int] = {}
+_TUNED_BWD_GROUP: dict[int, int] = {}
+
+
+def _pick_group(n_pad: int, bh: int, table=None) -> int:
+    """Largest divisor of batch*heads at or below the tuned group target."""
+    target = (_TUNED_FWD_GROUP if table is None else table).get(n_pad, 1)
+    for g in range(min(target, bh), 0, -1):
+        if bh % g == 0:
+            return g
+    return 1
 
 
 def _flatten_pad(n_pad: int, *tensors):
@@ -124,9 +189,40 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
     n_pad = _round_up(n, 128)
     bq = _pick_block(n_pad, block_q)
     bk = _pick_block(n_pad, block_k)
+    g = _pick_group(n_pad, b * h) if bq == n_pad else 1
 
     qf, kf, vf = _flatten_pad(n_pad, q, k, v)
     kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
+
+    if g > 1:
+        # g whole heads per program (small pad classes: amortizes the
+        # per-program pipeline cost; see _TUNED_FWD_GROUP)
+        bh = b * h
+        res = pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale, n_real=n,
+                              block_k=bk),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh // g, g, n_pad, d), q.dtype),
+            ] + ([jax.ShapeDtypeStruct((bh // g, g, 1, n_pad), jnp.float32)]
+                 if with_lse else []),
+            grid=(bh // g,),
+            in_specs=[
+                pl.BlockSpec((1, g, n_pad, d), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, g, d, n_pad), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, g, n_pad, d), lambda i: (i, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, g, n_pad, d), lambda i: (i, 0, 0, 0)),
+            ] + ([pl.BlockSpec((1, g, 1, n_pad), lambda i: (i, 0, 0, 0))]
+                 if with_lse else []),
+            interpret=interpret,
+            compiler_params=_GROUPED_VMEM,
+        )(qf.reshape(bh // g, g, n_pad, d),
+          kt.reshape(bh // g, g, d, n_pad),
+          vf.reshape(bh // g, g, n_pad, d))
+        out = res[0].reshape(bh, n_pad, d)
+        lse = res[1].reshape(bh, 1, n_pad) if with_lse else None
+        return _unflatten(out, b, n, h, d), lse
 
     grid = (b * h, n_pad // bq)
     out_shape = [jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype)]
@@ -178,29 +274,72 @@ def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref, lse_ref,
     Padded q rows carry zero ``do`` so their dk/dv contributions vanish;
     padded key columns get masked scores.
     """
+    if q_ref.ndim == 4:  # grouped: g whole heads, single q block per head
+        n_pad = kt_ref.shape[3]
+        for h in range(q_ref.shape[1]):
+            dq, kv_blocks = _bwd_body(
+                q_ref[0, h], do_ref[0, h], o_ref[0, h],
+                lse_ref[0, h, 0][:, None],
+                lambda base, h=h: kt_ref[0, h, :, base:base + block_k],
+                lambda base, h=h: v_ref[0, h, base:base + block_k, :],
+                v_ref.dtype, scale=scale, n_real=n_real,
+                block_k=block_k, n_pad=n_pad,
+            )
+            dq_ref[0, h] = dq.astype(dq_ref.dtype)
+            for base, dk_blk, dv_blk in kv_blocks:
+                # single q block per head in the grouped path: plain init
+                dk_ref[0, h, base:base + block_k, :] = dk_blk
+                dv_ref[0, h, base:base + block_k, :] = dv_blk
+        return
+
     j = pl.program_id(1)
-    q = q_ref[0]
-    do = do_ref[0]
-    bq, d = q.shape
     n_pad = kt_ref.shape[2]
+    dq, kv_blocks = _bwd_body(
+        q_ref[0], do_ref[0], o_ref[0], lse_ref[0, 0][:, None],
+        lambda base: kt_ref[0, :, base:base + block_k],
+        lambda base: v_ref[0, base:base + block_k, :],
+        v_ref.dtype, scale=scale, n_real=n_real,
+        block_k=block_k, n_pad=n_pad,
+    )
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    for base, dk_blk, dv_blk in kv_blocks:
+        @pl.when(j == 0)
+        def _init():
+            dk_ref[0, base:base + block_k, :] = dk_blk
+            dv_ref[0, base:base + block_k, :] = dv_blk
+
+        @pl.when(j > 0)
+        def _acc():
+            dk_ref[0, base:base + block_k, :] += dk_blk
+            dv_ref[0, base:base + block_k, :] += dv_blk
+
+
+def _bwd_body(q, do, o, lse, load_kt, load_v, v_dtype, *, scale: float,
+              n_real: int, block_k: int, n_pad: int):
+    """Backward math for one head's q block. Returns (dq, [(base, dk_blk,
+    dv_blk), ...]) — the caller stores/accumulates the dk/dv blocks into
+    its grid-resident refs (no ref views: Mosaic cannot slice the 64-lane
+    head dim out of a 128-tiled memref). In production ``block_k`` always
+    equals ``n_pad`` (full-K backward), so the list has one element."""
+    bq, d = q.shape
     sl = scale * _LOG2E
-    lse = lse_ref[0, 0][:, None]  # (bq, 1)
 
     delta = jnp.sum(
-        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        do.astype(jnp.float32) * o.astype(jnp.float32),
         axis=-1, keepdims=True,
     )  # (bq, 1)
 
     dq = jnp.zeros((bq, d), jnp.float32)
+    kv_blocks = []
     for kb in range(n_pad // block_k):
         base = kb * block_k
-        kt_j = kt_ref[0, :, base:base + block_k]  # (d, bk)
+        kt_j = load_kt(base)  # (d, bk)
         s = jnp.dot(q, kt_j, preferred_element_type=jnp.float32) * sl
         if base + block_k > n_real:
             pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + base
             s = jnp.where(pos < n_real, s, _NEG_INF)
         p = jnp.exp2(s - lse)  # normalized probabilities (bq, bk) fp32
-        p_lo = p.astype(v_ref.dtype)
+        p_lo = p.astype(v_dtype)
 
         # dv_block += p^T @ do    (contract over q rows, no transpose op)
         dv_blk = jax.lax.dot_general(
@@ -210,10 +349,10 @@ def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref, lse_ref,
 
         # dp = do @ v^T ; ds = p * (dp - delta) * scale
         dp = jax.lax.dot_general(
-            do, v_ref[0, base:base + block_k, :], (((1,), (1,)), ((), ())),
+            do, load_v(base), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bq, bk)
-        ds = (p * (dp - delta) * scale).astype(v_ref.dtype)
+        ds = (p * (dp - delta) * scale).astype(v_dtype)
 
         # dq += ds @ k_j          (contract ds lanes with kT lanes)
         dq += jax.lax.dot_general(
@@ -225,18 +364,9 @@ def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref, lse_ref,
         dk_blk = jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bk, d)
+        kv_blocks.append((base, dk_blk, dv_blk))
 
-        @pl.when(j == 0)
-        def _init():
-            dk_ref[0, base:base + block_k, :] = dk_blk
-            dv_ref[0, base:base + block_k, :] = dv_blk
-
-        @pl.when(j > 0)
-        def _acc():
-            dk_ref[0, base:base + block_k, :] += dk_blk
-            dv_ref[0, base:base + block_k, :] += dv_blk
-
-    dq_ref[0] = dq.astype(dq_ref.dtype)
+    return dq, kv_blocks
 
 
 def _bwd_dq_kernel(q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -397,6 +527,46 @@ def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
 
     qf, kf, vf, dof, of = _flatten_pad(n_pad, q, k, v, g, o)
     kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
+
+    grp = (_pick_group(n_pad, b * h, _TUNED_BWD_GROUP)
+           if bq == n_pad else 1)
+    if grp > 1:
+        bh = b * h
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_attn_bwd_kernel, scale=scale, n_real=n,
+                              block_k=bk),
+            out_shape=[
+                jax.ShapeDtypeStruct((bh // grp, grp, n_pad, d), q.dtype),
+                jax.ShapeDtypeStruct((bh // grp, grp, n_pad, d), jnp.float32),
+                jax.ShapeDtypeStruct((bh // grp, grp, n_pad, d), jnp.float32),
+            ],
+            grid=(bh // grp,),
+            in_specs=[
+                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, grp, d, n_pad), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, grp, 1, n_pad), lambda i: (i, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
+            ],
+            interpret=interpret,
+            compiler_params=_GROUPED_VMEM,
+        )(qf.reshape(bh // grp, grp, n_pad, d),
+          kt.reshape(bh // grp, grp, d, n_pad),
+          vf.reshape(bh // grp, grp, n_pad, d),
+          dof.reshape(bh // grp, grp, n_pad, d),
+          of.reshape(bh // grp, grp, n_pad, d),
+          lse.reshape(bh // grp, grp, 1, n_pad))
+        return (
+            _unflatten(dq.reshape(bh, n_pad, d), b, n, h, d),
+            _unflatten(dk.reshape(bh, n_pad, d), b, n, h, d).astype(k.dtype),
+            _unflatten(dv.reshape(bh, n_pad, d), b, n, h, d).astype(v.dtype),
+        )
 
     grid = (b * h, n_pad // bq)
     dq, dk, dv = pl.pallas_call(

@@ -41,7 +41,7 @@ _BIG_VMEM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 from maest_tpu.ops import attention as A  # noqa: E402
 
 ARCH_N = {"5s": 272, "10s": 551, "20s": 1118, "30s": 1676,
-          "30s-train": 866}
+          "30s-train": 866, "10s-train": 281, "20s-train": 578}
 
 
 def _mxu_only_kernel(q_ref, kt_ref, v_ref, out_ref, *, scale, n_real, block_k):

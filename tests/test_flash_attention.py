@@ -73,3 +73,39 @@ def test_flash_grad_matches_reference():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
+
+
+def test_grouped_heads_fwd_bwd_matches_reference(monkeypatch):
+    """The g-heads-per-program mechanism (kept but shipped with empty
+    tables — see the _TUNED_FWD_GROUP measurement note): grouped forward,
+    lse emission, and grouped backward must match the XLA reference
+    exactly like the ungrouped path. n=281 (pad 384), bh=12, g=12."""
+    from maest_tpu.ops import attention as A
+    from maest_tpu.ops.attention import _pick_group
+
+    monkeypatch.setattr(A, "_TUNED_FWD_GROUP", {384: 12})
+    monkeypatch.setattr(A, "_TUNED_BWD_GROUP", {384: 12})
+    assert _pick_group(384, 12, {384: 12}) == 12
+    assert _pick_group(384, 10, {384: 12}) == 10  # divisor fallback
+    assert _pick_group(256, 12) == 1   # untabulated pad stays ungrouped
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    b, n, h, d = 2, 281, 6, 64
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+
+    out = flash_attention(q, k, v, interpret=True)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4,
+                               atol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
+                                   atol=1e-4)
