@@ -27,16 +27,35 @@ from pathlib import Path
 import numpy as np
 
 
-def load_training_checkpoint(path: str) -> dict:
+def load_training_checkpoint(path: str, *, with_opt_state: bool = False
+                             ) -> dict:
     """Restore a Trainer orbax checkpoint without its original in-memory
-    target (returns plain arrays)."""
+    target (returns plain arrays).
+
+    By default the optimizer state (~2x param bytes of Adam moments that
+    ``select_params`` discards anyway) is NOT read from disk: the restore
+    target marks the ``opt_state`` subtree with ``ocp.PLACEHOLDER``, so
+    orbax skips those array reads entirely."""
+    import jax
     import orbax.checkpoint as ocp
 
-    # NOTE: restores the full state incl. opt_state (~2x param bytes of
-    # Adam moments that select_params discards) — acceptable for an
-    # offline tool; a subset restore would need per-item handlers.
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(Path(path).absolute())
+    p = Path(path).absolute()
+    if with_opt_state:
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(p)
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(p)
+        tree = getattr(meta, "item_metadata", meta)
+        tree = dict(getattr(tree, "tree", tree))
+        tree.pop("opt_state", None)  # omitted subtree is never read
+        target = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), tree
+        )
+        return dict(
+            ckptr.restore(p, ocp.args.PyTreeRestore(item=target,
+                                                    partial_restore=True))
+        )
 
 
 def run_config_for(checkpoint: str) -> dict | None:

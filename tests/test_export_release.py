@@ -94,3 +94,17 @@ def test_export_hf_directory(trained_ckpt, tmp_path):
     assert (out / "model.safetensors").exists()
     assert (out / "config.json").exists()
     assert (out / "preprocessor_config.json").exists()
+
+
+def test_subset_restore_skips_opt_state(trained_ckpt):
+    """The default restore must not materialize the Adam moments (the
+    opt_state subtree is PLACEHOLDER-skipped at the orbax layer)."""
+    state = load_training_checkpoint(str(trained_ckpt))
+    assert "opt_state" not in state
+    assert {"params", "swa_params", "swa_n", "step"} <= set(state)
+    full = load_training_checkpoint(str(trained_ckpt), with_opt_state=True)
+    assert "opt_state" in full
+    np.testing.assert_allclose(
+        np.asarray(state["params"]["head_linear"]["kernel"], np.float32),
+        np.asarray(full["params"]["head_linear"]["kernel"], np.float32),
+    )
