@@ -39,8 +39,11 @@ _NEG_INF = -1e30
 _LOG2E = 1.4426950408889634
 
 # Grouped (g-heads-per-program) kernels exceed Mosaic's default 16 MB
-# scoped-vmem guard (g=12 backward: 21.4 MB demand); v5e has 128 MB VMEM,
-# so raise the guard for those calls only.
+# scoped-vmem guard (g=12 backward: 21.4 MB demand). 64 MB is validated
+# for every TABULATED pad class (384/640/896); pads >= 1792 must NOT be
+# tabulated — their per-head unrolled temporaries scale with g (measured
+# 25.95 MB at g=2, 46.7 MB at g=4) and the large reservation then starves
+# the rest of the program's VMEM (133/128 MB whole-program OOM observed).
 _GROUPED_VMEM = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
@@ -84,40 +87,26 @@ def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, lse_ref=None, *, scale: float,
                  n_real: int, block_k: int):
     """One program of the flash forward.
 
-    Ungrouped: q_ref (1, block_q, d); kt_ref (1, d, n_pad); v_ref
-    (1, n_pad, d) — one (batch*head, q-block) program. Grouped (4-d refs,
-    leading group dim): one program handles ``g`` whole heads back to
-    back, amortizing per-program pipeline overhead for the small-N pad
-    classes (measured -12% at pad 384, B=100). Keys >= n_real are masked
-    out (sequence padding). ``lse_ref`` (per-row log2-sum-exp) feeds the
+    q_ref (g, block_q, d); kt_ref (g, d, n_pad); v_ref (g, n_pad, d) —
+    one program handles ``g`` whole heads back to back (g == 1 is the
+    plain one-program-per-(batch*head, q-block) layout). Grouping uses a
+    flat (g, ...) BlockSpec over the unreshaped (B*H, ...) arrays, so no
+    XLA-side relayout is ever inserted. Keys >= n_real are masked out
+    (sequence padding). ``lse_ref`` (per-row log2-sum-exp) feeds the
     backward kernel's softmax reconstruction.
     """
-    if q_ref.ndim == 4:  # grouped: (1, g, bq, d) etc.
-        n_pad = kt_ref.shape[3]
-        for h in range(q_ref.shape[1]):
-            out, lse = _attn_body(
-                q_ref[0, h],
-                lambda base, h=h: kt_ref[0, h, :, base:base + block_k],
-                lambda base, h=h: v_ref[0, h, base:base + block_k, :],
-                v_ref.dtype, scale=scale, n_real=n_real, block_k=block_k,
-                n_pad=n_pad,
-            )
-            out_ref[0, h] = out.astype(out_ref.dtype)
-            if lse_ref is not None:
-                lse_ref[0, h, 0] = lse
-        return
-
     n_pad = kt_ref.shape[2]
-    out, lse = _attn_body(
-        q_ref[0],
-        lambda base: kt_ref[0, :, base:base + block_k],
-        lambda base: v_ref[0, base:base + block_k, :],
-        v_ref.dtype, scale=scale, n_real=n_real, block_k=block_k,
-        n_pad=n_pad,
-    )
-    out_ref[0] = out.astype(out_ref.dtype)
-    if lse_ref is not None:  # only the autodiff path pays for the lse emit
-        lse_ref[0, 0] = lse
+    for h in range(q_ref.shape[0]):
+        out, lse = _attn_body(
+            q_ref[h],
+            lambda base, h=h: kt_ref[h, :, base:base + block_k],
+            lambda base, h=h: v_ref[h, base:base + block_k, :],
+            v_ref.dtype, scale=scale, n_real=n_real, block_k=block_k,
+            n_pad=n_pad,
+        )
+        out_ref[h] = out.astype(out_ref.dtype)
+        if lse_ref is not None:  # only the autodiff path pays for the emit
+            lse_ref[h, 0] = lse
 
 
 def _round_up(x: int, m: int) -> int:
@@ -135,19 +124,20 @@ def _pick_block(n_pad: int, target: int) -> int:
 
 
 # Heads-per-program for single-q-block pad classes, keyed by n_pad.
-# Rationale: small sequences spawn thousands of tiny programs (10s
-# pretrain at B=100: 1200 programs of 38 MFLOP) and folding g heads into
-# one program measured -12% on the ISOLATED kernel (pad 384, B=100,
-# g=12). Both tables nevertheless ship EMPTY: in full-model composition
-# the win inverts — interleaved 3-round A/Bs measured 5s-eval inference
-# 16.8 vs 16.25 ms/fwd and 10s B100 train 218 vs 215 ms with grouping on,
-# the XLA-side (bh) -> (bh/g, g) relayouts around the pallas_call costing
-# more than the in-kernel amortization saves (backward worse still: the
-# fp32 dk/dv outputs triple per-program VMEM and starve double-buffering,
-# 10s B100 step 217 -> 205 ms when disabled). The mechanism stays tested
-# (tests/test_flash_attention.py) for future shapes where it may win.
-_TUNED_FWD_GROUP: dict[int, int] = {}
-_TUNED_BWD_GROUP: dict[int, int] = {}
+# Small sequences spawn many small programs (10s pretrain at B=100: 1200
+# programs of 38 MFLOP); folding g heads into one program amortizes the
+# per-program pipeline cost. CRITICAL implementation detail: grouping is
+# expressed as a flat (g, ...) BlockSpec over the UNRESHAPED (B*H, ...)
+# arrays — an earlier (bh) -> (bh/g, g) XLA reshape variant LOST its
+# in-kernel win to relayouts (train 218 vs 215 ms). With flat blocks,
+# interleaved 3-round A/Bs measured (ms/step, stable to +-0.2):
+#   pad 384 (10s B100 train):  205.5 -> 199.5  (fwd 24 / bwd 12, -2.9%)
+#   pad 640 (20s B48 train):   178.8 -> 176.1  (fwd 8  / bwd 8,  -1.5%)
+#   pad 896 (30s B32 train):   181.0 -> 177.5  (fwd 12 / bwd 6,  -1.9%)
+#   pad 384 (5s b32 inference): neutral (16.30 vs 16.30 ms/fwd)
+# NOTE: never tabulate pads >= 1792 (see _GROUPED_VMEM).
+_TUNED_FWD_GROUP: dict[int, int] = {384: 24, 640: 8, 896: 12}
+_TUNED_BWD_GROUP: dict[int, int] = {384: 12, 640: 8, 896: 6}
 
 
 def _pick_group(n_pad: int, bh: int, table=None) -> int:
@@ -194,56 +184,29 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
     qf, kf, vf = _flatten_pad(n_pad, q, k, v)
     kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
 
-    if g > 1:
-        # g whole heads per program (small pad classes: amortizes the
-        # per-program pipeline cost; see _TUNED_FWD_GROUP)
-        bh = b * h
-        res = pl.pallas_call(
-            functools.partial(_attn_kernel, scale=scale, n_real=n,
-                              block_k=bk),
-            out_shape=[
-                jax.ShapeDtypeStruct((bh // g, g, n_pad, d), q.dtype),
-            ] + ([jax.ShapeDtypeStruct((bh // g, g, 1, n_pad), jnp.float32)]
-                 if with_lse else []),
-            grid=(bh // g,),
-            in_specs=[
-                pl.BlockSpec((1, g, n_pad, d), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec((1, g, d, n_pad), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec((1, g, n_pad, d), lambda i: (i, 0, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, g, n_pad, d), lambda i: (i, 0, 0, 0)),
-            ] + ([pl.BlockSpec((1, g, 1, n_pad), lambda i: (i, 0, 0, 0))]
-                 if with_lse else []),
-            interpret=interpret,
-            compiler_params=_GROUPED_VMEM,
-        )(qf.reshape(bh // g, g, n_pad, d),
-          kt.reshape(bh // g, g, d, n_pad),
-          vf.reshape(bh // g, g, n_pad, d))
-        out = res[0].reshape(bh, n_pad, d)
-        lse = res[1].reshape(bh, 1, n_pad) if with_lse else None
-        return _unflatten(out, b, n, h, d), lse
-
-    grid = (b * h, n_pad // bq)
+    # g whole heads per program via a flat (g, ...) BlockSpec over the
+    # unreshaped arrays — no XLA relayout; g == 1 is the classic layout.
+    grid = (b * h // g, n_pad // bq)
     out_shape = [jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype)]
-    out_specs = [pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0))]
+    out_specs = [pl.BlockSpec((g, bq, d), lambda i, j: (i, j, 0))]
     if with_lse:
         # (bh, 1, n_pad): the singleton sublane dim satisfies Mosaic's
-        # block-shape divisibility rule for the (1, 1, bq) blocks
+        # block-shape divisibility rule for the (g, 1, bq) blocks
         out_shape.append(jax.ShapeDtypeStruct((b * h, 1, n_pad), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j)))
+        out_specs.append(pl.BlockSpec((g, 1, bq), lambda i, j: (i, 0, j)))
     # with one output pallas passes 4 refs and lse_ref defaults to None
     res = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale, n_real=n, block_k=bk),
         out_shape=out_shape,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, d, n_pad), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((g, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((g, d, n_pad), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((g, n_pad, d), lambda i, j: (i, 0, 0)),
         ],
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=_GROUPED_VMEM if g > 1 else None,
     )(qf, kt, vf)
     out, lse = (res[0], res[1]) if with_lse else (res[0], None)
     return _unflatten(out, b, n, h, d), lse
@@ -274,44 +237,27 @@ def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref, lse_ref,
     Padded q rows carry zero ``do`` so their dk/dv contributions vanish;
     padded key columns get masked scores.
     """
-    if q_ref.ndim == 4:  # grouped: g whole heads, single q block per head
-        n_pad = kt_ref.shape[3]
-        for h in range(q_ref.shape[1]):
-            dq, kv_blocks = _bwd_body(
-                q_ref[0, h], do_ref[0, h], o_ref[0, h],
-                lse_ref[0, h, 0][:, None],
-                lambda base, h=h: kt_ref[0, h, :, base:base + block_k],
-                lambda base, h=h: v_ref[0, h, base:base + block_k, :],
-                v_ref.dtype, scale=scale, n_real=n_real,
-                block_k=block_k, n_pad=n_pad,
-            )
-            dq_ref[0, h] = dq.astype(dq_ref.dtype)
-            for base, dk_blk, dv_blk in kv_blocks:
-                # single q block per head in the grouped path: plain init
-                dk_ref[0, h, base:base + block_k, :] = dk_blk
-                dv_ref[0, h, base:base + block_k, :] = dv_blk
-        return
-
     j = pl.program_id(1)
     n_pad = kt_ref.shape[2]
-    dq, kv_blocks = _bwd_body(
-        q_ref[0], do_ref[0], o_ref[0], lse_ref[0, 0][:, None],
-        lambda base: kt_ref[0, :, base:base + block_k],
-        lambda base: v_ref[0, base:base + block_k, :],
-        v_ref.dtype, scale=scale, n_real=n_real,
-        block_k=block_k, n_pad=n_pad,
-    )
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    for base, dk_blk, dv_blk in kv_blocks:
-        @pl.when(j == 0)
-        def _init():
-            dk_ref[0, base:base + block_k, :] = dk_blk
-            dv_ref[0, base:base + block_k, :] = dv_blk
+    for h in range(q_ref.shape[0]):  # g heads per program (g == 1 classic)
+        dq, kv_blocks = _bwd_body(
+            q_ref[h], do_ref[h], o_ref[h], lse_ref[h, 0][:, None],
+            lambda base, h=h: kt_ref[h, :, base:base + block_k],
+            lambda base, h=h: v_ref[h, base:base + block_k, :],
+            v_ref.dtype, scale=scale, n_real=n_real,
+            block_k=block_k, n_pad=n_pad,
+        )
+        dq_ref[h] = dq.astype(dq_ref.dtype)
+        for base, dk_blk, dv_blk in kv_blocks:
+            @pl.when(j == 0)
+            def _init():
+                dk_ref[h, base:base + block_k, :] = dk_blk
+                dv_ref[h, base:base + block_k, :] = dv_blk
 
-        @pl.when(j > 0)
-        def _acc():
-            dk_ref[0, base:base + block_k, :] += dk_blk
-            dv_ref[0, base:base + block_k, :] += dv_blk
+            @pl.when(j > 0)
+            def _acc():
+                dk_ref[h, base:base + block_k, :] += dk_blk
+                dv_ref[h, base:base + block_k, :] += dv_blk
 
 
 def _bwd_body(q, do, o, lse, load_kt, load_v, v_dtype, *, scale: float,
@@ -530,45 +476,7 @@ def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
 
     grp = (_pick_group(n_pad, b * h, _TUNED_BWD_GROUP)
            if bq == n_pad else 1)
-    if grp > 1:
-        bh = b * h
-        dq, dk, dv = pl.pallas_call(
-            functools.partial(_attn_bwd_kernel, scale=scale, n_real=n,
-                              block_k=bk),
-            out_shape=[
-                jax.ShapeDtypeStruct((bh // grp, grp, n_pad, d), q.dtype),
-                jax.ShapeDtypeStruct((bh // grp, grp, n_pad, d), jnp.float32),
-                jax.ShapeDtypeStruct((bh // grp, grp, n_pad, d), jnp.float32),
-            ],
-            grid=(bh // grp,),
-            in_specs=[
-                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec((1, grp, d, n_pad), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec((1, grp, 1, n_pad), lambda i: (i, 0, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
-                pl.BlockSpec((1, grp, n_pad, d), lambda i: (i, 0, 0, 0)),
-            ],
-            interpret=interpret,
-            compiler_params=_GROUPED_VMEM,
-        )(qf.reshape(bh // grp, grp, n_pad, d),
-          kt.reshape(bh // grp, grp, d, n_pad),
-          vf.reshape(bh // grp, grp, n_pad, d),
-          dof.reshape(bh // grp, grp, n_pad, d),
-          of.reshape(bh // grp, grp, n_pad, d),
-          lse.reshape(bh // grp, grp, 1, n_pad))
-        return (
-            _unflatten(dq.reshape(bh, n_pad, d), b, n, h, d),
-            _unflatten(dk.reshape(bh, n_pad, d), b, n, h, d).astype(k.dtype),
-            _unflatten(dv.reshape(bh, n_pad, d), b, n, h, d).astype(v.dtype),
-        )
-
-    grid = (b * h, n_pad // bq)
+    grid = (b * h // grp, n_pad // bq)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale, n_real=n,
                           block_k=bk),
@@ -579,19 +487,20 @@ def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
         ],
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # q
-            pl.BlockSpec((1, d, n_pad), lambda i, j: (i, 0, 0)),   # kT
-            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),   # v
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # do
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # o
-            pl.BlockSpec((1, 1, bq), lambda i, j: (i, 0, j)),       # lse
+            pl.BlockSpec((grp, bq, d), lambda i, j: (i, j, 0)),     # q
+            pl.BlockSpec((grp, d, n_pad), lambda i, j: (i, 0, 0)),  # kT
+            pl.BlockSpec((grp, n_pad, d), lambda i, j: (i, 0, 0)),  # v
+            pl.BlockSpec((grp, bq, d), lambda i, j: (i, j, 0)),     # do
+            pl.BlockSpec((grp, bq, d), lambda i, j: (i, j, 0)),     # o
+            pl.BlockSpec((grp, 1, bq), lambda i, j: (i, 0, j)),     # lse
         ],
         out_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),      # dq
-            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),   # dk (acc)
-            pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0)),   # dv (acc)
+            pl.BlockSpec((grp, bq, d), lambda i, j: (i, j, 0)),     # dq
+            pl.BlockSpec((grp, n_pad, d), lambda i, j: (i, 0, 0)),  # dk (acc)
+            pl.BlockSpec((grp, n_pad, d), lambda i, j: (i, 0, 0)),  # dv (acc)
         ],
         interpret=interpret,
+        compiler_params=_GROUPED_VMEM if grp > 1 else None,
     )(qf, kt, vf, dof, of, lse)
 
     return (
@@ -614,6 +523,21 @@ _TUNED_FWD_BLOCKS = {
     1152: (1152, 384),  # 20s eval: 3.41 vs 3.67 ms/call at (384, 384)
     1792: (1792, 256),  # 30s eval (N=1676): parity-to-better vs (896, 256)
 }
+
+
+def _validate_tuned_groups():
+    """Pads >= 1792 must never be grouped: per-head unrolled temporaries
+    scale with g past the VMEM guard (see _GROUPED_VMEM)."""
+    for table in (_TUNED_FWD_GROUP, _TUNED_BWD_GROUP):
+        for n_pad, g in table.items():
+            if n_pad >= 1792 and g > 1:
+                raise AssertionError(
+                    f"group table entry {n_pad}: {g} — pads >= 1792 cannot "
+                    "be grouped (VMEM; see _GROUPED_VMEM)"
+                )
+
+
+_validate_tuned_groups()
 
 
 def _validate_tuned_blocks(table=None):
