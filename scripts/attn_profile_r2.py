@@ -223,6 +223,50 @@ def time_gh(n: int, n_pad: int, g: int, bk: int, *, batch: int, heads: int,
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def _int8_kernel(q_ref, kt_ref, v_ref, qs_ref, ks_ref, vs_ref, out_ref, *,
+                 scale, n_real, block_k):
+    """int8 scores + int8 pv (v5e int8 MXU is 2x bf16 peak).
+
+    q/kT int8 with per-row / per-key scales (qs (bq,1), ks (1,n_pad));
+    v int8 with per-column scales vs (1, d). p is quantized to int8 with
+    the FIXED scale 127 (softmax max is 1 by construction), folded into
+    the exp2 exponent for free. acc stays fp32 across key blocks so the
+    running-max correction remains exact.
+    """
+    q = q_ref[0]
+    bq, d = q.shape
+    n_pad = kt_ref.shape[2]
+    sl = scale * A._LOG2E
+
+    qs = qs_ref[0]  # (bq, 1) fp32: row scales /127 already folded
+    m = jnp.full((bq, 1), A._NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+    log2_127 = 6.9886
+    for jb in range(n_pad // block_k):
+        base = jb * block_k
+        s_i = jnp.dot(q, kt_ref[0, :, base:base + block_k],
+                      preferred_element_type=jnp.int32)
+        ks = ks_ref[0, :, base:base + block_k]  # (1, bk)
+        s = s_i.astype(jnp.float32) * (qs * sl) * ks
+        if base + block_k > n_real:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + base
+            s = jnp.where(pos < n_real, s, A._NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp2(m - m_new)
+        # p in [0, 127]: the x127 quantization scale rides the exponent
+        p = jnp.exp2(s - m_new + log2_127)
+        p_i8 = jnp.round(p).astype(jnp.int8)  # max 127 exact
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jnp.dot(
+            p_i8, v_ref[0, base:base + block_k, :],
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        m = m_new
+    vs = vs_ref[0]  # (1, d)
+    out_ref[0] = (acc * vs / l).astype(out_ref.dtype)
+
+
 KERNELS = {
     "flash": A._attn_kernel,
     "mxu_only": _mxu_only_kernel,
@@ -231,6 +275,72 @@ KERNELS = {
     "bf16s": _bf16_scores_kernel,
 }
 PREFOLD_SCALE = {"bf16s"}
+
+
+def time_int8(n: int, n_pad: int, bq: int, bk: int, *, batch: int,
+              heads: int, iters: int, check: bool = False):
+    rng = np.random.default_rng(0)
+    shape = (batch, n, heads, 64)
+    q, k, v = (jnp.asarray(rng.standard_normal(shape) * 0.5, jnp.float32)
+               for _ in range(3))
+    bh = batch * heads
+
+    def call(q, k, v):
+        qf, kf, vf = A._flatten_pad(n_pad, q, k, v)
+        # per-row quantization (host math in fp32, on device)
+        qs = jnp.max(jnp.abs(qf), axis=2, keepdims=True)          # (bh, n, 1)
+        qs = jnp.maximum(qs, 1e-6)
+        q8 = jnp.round(qf / qs * 127.0).astype(jnp.int8)
+        ks = jnp.max(jnp.abs(kf), axis=2, keepdims=True)
+        ks = jnp.maximum(ks, 1e-6)
+        k8 = jnp.round(kf / ks * 127.0).astype(jnp.int8)
+        vs = jnp.max(jnp.abs(vf), axis=1, keepdims=True)          # (bh, 1, d)
+        vs = jnp.maximum(vs, 1e-6)
+        v8 = jnp.round(vf / vs * 127.0).astype(jnp.int8)
+        kt8 = jnp.swapaxes(k8, 1, 2)
+        kst = jnp.swapaxes(ks, 1, 2)                              # (bh, 1, n)
+        # fold /127^2 of q,k into qs; /127 (p) /127 (v) into vs
+        qsc = qs / 127.0 / 127.0
+        vsc = vs / 127.0 / 127.0
+
+        (out,) = pl.pallas_call(
+            functools.partial(_int8_kernel, scale=64**-0.5, n_real=n,
+                              block_k=bk),
+            out_shape=[jax.ShapeDtypeStruct((bh, n_pad, 64), jnp.float32)],
+            grid=(bh, n_pad // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, 64), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((1, 64, n_pad), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, n_pad, 64), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0)),   # qs
+                pl.BlockSpec((1, 1, n_pad), lambda i, j: (i, 0, 0)),  # ks
+                pl.BlockSpec((1, 1, 64), lambda i, j: (i, 0, 0)),   # vs
+            ],
+            out_specs=[pl.BlockSpec((1, bq, 64), lambda i, j: (i, j, 0))],
+        )(q8, kt8, v8, qsc, kst, vsc)
+        return A._unflatten(out, batch, n, heads, 64)
+
+    if check:
+        got = call(q, k, v)
+        ref = A.attention_reference(q, k, v)
+        d = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
+        rel = d / float(jnp.max(jnp.abs(ref)))
+        print(f"  int8 check: max|diff| {d:.3e} (rel {rel:.3e})", flush=True)
+        return None
+
+    @jax.jit
+    def chained(q, k, v):
+        o = call(q, k, v)
+        return o, o
+
+    o, _ = chained(q, k, v)
+    _ = float(o[0, 0, 0, 0])
+    t0 = time.perf_counter()
+    x = q
+    for _ in range(iters):
+        o, x = chained(x, k, v)
+    _ = float(o[0, 0, 0, 0])
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
 def time_variant(kernel_name: str, n: int, n_pad: int, bq: int, bk: int, *,
@@ -346,6 +456,18 @@ def main():
                 continue
             for variant in args.variants.split(","):
                 if variant == "xla" and bk != int(args.blocks.split(",")[0]):
+                    continue
+                if variant == "int8":
+                    ms = time_int8(n, n_pad, bq, bk, batch=args.batch,
+                                   heads=args.heads, iters=args.iters)
+                    eff = flops / (ms / 1e3) / 1e12
+                    print(f"  bk={bk:5d} {variant:10s} {ms:7.2f} ms "
+                          f"{eff:6.1f} TFLOP/s ({eff / 197 * 100:4.1f}% MXU)",
+                          flush=True)
+                    continue
+                if variant == "int8check":
+                    time_int8(n, n_pad, bq, bk, batch=2, heads=args.heads,
+                              iters=1, check=True)
                     continue
                 if variant.startswith("gh"):
                     ms = time_gh(n, n_pad, int(variant[2:]), bk,
