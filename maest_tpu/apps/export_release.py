@@ -34,8 +34,9 @@ def load_training_checkpoint(path: str, *, with_opt_state: bool = False
 
     By default the optimizer state (~2x param bytes of Adam moments that
     ``select_params`` discards anyway) is NOT read from disk: the restore
-    target marks the ``opt_state`` subtree with ``ocp.PLACEHOLDER``, so
-    orbax skips those array reads entirely."""
+    target is built from the checkpoint metadata with the ``opt_state``
+    subtree omitted entirely, and ``PyTreeRestore(partial_restore=True)``
+    skips those array reads."""
     import jax
     import orbax.checkpoint as ocp
 

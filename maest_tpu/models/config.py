@@ -31,7 +31,7 @@ class MAESTConfig:
     # heads
     num_classes: int = 527
     distilled: bool = True
-    distilled_type: str = "mean"  # "mean" | "separated" | other -> plain head
+    distilled_type: str = "mean"  # "mean" | "separated" (anything else raises)
 
     # regularization
     drop_rate: float = 0.0

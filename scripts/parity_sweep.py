@@ -85,7 +85,8 @@ def _forward(arch: str, ckpt: Path, x: np.ndarray, **overrides):
 
 
 def run_sweep(cache: Path, archs, tol: float, expect: dict | None,
-              overrides: dict | None = None) -> dict:
+              overrides: dict | None = None,
+              expect_kind: str = "auto") -> dict:
     from maest_tpu.models.registry import ARCHS
 
     report = {"cache_dir": str(cache), "seed": SEED, "tol": tol, "archs": {}}
@@ -133,8 +134,15 @@ def run_sweep(cache: Path, archs, tol: float, expect: dict | None,
 
         if expect is not None and arch in expect:
             want = np.asarray(expect[arch], np.float32)
-            # expected file may hold logits or activations; map to sigmoid
-            if want.min() < 0.0 or want.max() > 1.0:
+            # expected arrays compare in sigmoid space; prefer an explicit
+            # --expect-kind (the [0,1]-range heuristic misreads logits that
+            # happen to lie in [0,1], e.g. from a near-zero-init head)
+            kind = expect_kind
+            if kind == "auto":
+                kind = ("logits" if want.min() < 0.0 or want.max() > 1.0
+                        else "activations")
+                entry["expect_kind_inferred"] = kind
+            if kind == "logits":
                 want = 1.0 / (1.0 + np.exp(-want))
             diff = float(np.abs(first - want).max())
             entry["vs_reference_max_sigmoid_diff"] = diff
@@ -161,13 +169,18 @@ def main(argv=None) -> int:
     ap.add_argument("--archs", default=",".join(DISCOGS_ARCHS))
     ap.add_argument("--expect", default=None,
                     help="npz of reference logits/activations, one array per arch")
+    ap.add_argument("--expect-kind", choices=("auto", "logits", "activations"),
+                    default="auto",
+                    help="domain of the --expect arrays (auto infers from "
+                         "value range, which misreads all-[0,1] logits)")
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--out", default="parity_report.json")
     args = ap.parse_args(argv)
 
     cache = Path(args.cache_dir) if args.cache_dir else cache_dir()
     expect = dict(np.load(args.expect)) if args.expect else None
-    report = run_sweep(cache, args.archs.split(","), args.tol, expect)
+    report = run_sweep(cache, args.archs.split(","), args.tol, expect,
+                       expect_kind=args.expect_kind)
     Path(args.out).write_text(json.dumps(report, indent=2))
     print(json.dumps(report["summary"]))
     for arch, entry in report["archs"].items():

@@ -76,8 +76,8 @@ def test_flash_grad_matches_reference():
 
 
 def test_grouped_heads_fwd_bwd_matches_reference(monkeypatch):
-    """The g-heads-per-program mechanism (kept but shipped with empty
-    tables — see the _TUNED_FWD_GROUP measurement note): grouped forward,
+    """The g-heads-per-program mechanism (shipped ON for pads 384/640/896
+    — see the _TUNED_FWD_GROUP measurement note): grouped forward,
     lse emission, and grouped backward must match the XLA reference
     exactly like the ungrouped path. n=281 (pad 384), bh=12, g=12."""
     from maest_tpu.ops import attention as A

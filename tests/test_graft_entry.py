@@ -7,13 +7,14 @@ combination it can reach is exercised here.
 """
 
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
 
 import jax
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __graft_entry__ as graft  # noqa: E402
 
