@@ -31,6 +31,13 @@ from .config import MAESTConfig
 # models/helpers/vit_helpers.py:110-166)
 _DENSE_INIT = nn.initializers.truncated_normal(0.02)
 
+# Pad-once residual stream is only a win while the extra LN/MLP row FLOPs
+# stay below the per-layer pad/slice traffic it eliminates. Measured
+# boundary (v5e): ratio 1.06 (30s inference) +14.4%, 1.02 (30s train)
+# +4.2%, 1.32 (10s train) -4.9%. 1.15 keeps the 10s-inference class
+# (640/560 = 1.14) on the padded path; see MAESTNet.__call__.
+_PAD_ONCE_MAX_RATIO = 1.15
+
 
 def _tier_precision(dtype):
     """Matmul/conv precision tied to the numerics tier.
@@ -106,6 +113,9 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"  # "auto" | "flash" | "xla"
     mesh: object = None  # jax.sharding.Mesh -> shard_map'd flash kernel
+    # number of REAL tokens when the residual stream is padded once for
+    # the whole network (pad-once; None = all tokens are real)
+    n_real: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool):
@@ -132,17 +142,24 @@ class Attention(nn.Module):
         if impl == "auto":
             impl = "flash" if (use_flash(n, head_dim) and not needs_drop) else "xla"
 
+        n_real = self.n_real if self.n_real is not None else n
         if impl == "flash":
             if self.mesh is not None and getattr(self.mesh, "size", 1) > 1:
-                out = flash_attention_sharded(q, k, v, self.mesh)
+                out = flash_attention_sharded(q, k, v, self.mesh,
+                                              n_real=n_real)
             else:
-                out = flash_attention(q, k, v)
+                out = flash_attention(q, k, v, n_real=n_real)
             out = out.reshape(b, n, c)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                               preferred_element_type=jnp.float32,
                               precision=_tier_precision(self.dtype))
-            attn = jax.nn.softmax(attn * scale, axis=-1)
+            attn = attn * scale
+            if n_real < n:  # padded keys must not receive probability mass
+                pos = jnp.arange(n)
+                attn = jnp.where(pos[None, None, None, :] < n_real,
+                                 attn, -1e30)
+            attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop, deterministic=deterministic)(attn)
             attn = attn.astype(self.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
@@ -181,6 +198,7 @@ class Block(nn.Module):
     gelu_approx: str = "auto"
     mesh: object = None
     sequence_parallel: bool = False
+    n_real: Optional[int] = None  # pad-once residual stream (see MAESTNet)
 
     def _seq_shard(self, x):
         """Megatron-SP: keep the residual stream token-sharded over the
@@ -205,7 +223,8 @@ class Block(nn.Module):
         attn = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            impl=self.attn_impl, mesh=self.mesh, name="attn",
+            impl=self.attn_impl, mesh=self.mesh, n_real=self.n_real,
+            name="attn",
         )
         if return_self_attention:
             return attn(norm1(x), deterministic=deterministic)
@@ -397,6 +416,34 @@ class MAESTNet(nn.Module):
 
         x = nn.Dropout(cfg.drop_rate, deterministic=not train)(x)
 
+        # --- pad-once residual stream (TPU fast path) ---
+        # The flash kernel needs a 128-multiple sequence; padding inside
+        # every layer made XLA materialize per-layer pad/slice/copy ops
+        # around each custom call — a device trace showed ~49 ms of a
+        # 148 ms 30 s/b32 step in that shuffling (docs/DESIGN.md). Pad the
+        # token axis ONCE here instead: every layer then runs at n_pad
+        # with zero data movement, the kernel masks keys >= n_real, and
+        # padded rows (garbage after LN bias) never reach the heads/taps.
+        #
+        # Trade-off: once padded, every LN/MLP/projection also runs on the
+        # pad rows, so the copy savings must beat the extra row FLOPs.
+        # Measured: 30 s/b32 inference (1685->1792, +6%) +14.4%; 30 s/B32
+        # train (875->896, +2%) +4.2%; 10 s/B100 train (290->384, +32%)
+        # REGRESSED 502->477.5 specs/s. Gate on the pad ratio.
+        from ..ops.attention import use_flash
+
+        n_tokens = x.shape[1]
+        head_dim = cfg.embed_dim // cfg.num_heads
+        needs_drop = cfg.attn_drop_rate > 0.0 and train
+        n_128 = -(-n_tokens // 128) * 128
+        flash_path = (cfg.attention_impl in ("auto", "flash")
+                      and not needs_drop and use_flash(n_tokens, head_dim)
+                      and n_128 <= _PAD_ONCE_MAX_RATIO * n_tokens)
+        n_res = n_128 if flash_path else n_tokens
+        if n_res != n_tokens:
+            x = jnp.pad(x, ((0, 0), (0, n_res - n_tokens), (0, 0)))
+        n_real = n_tokens if n_res != n_tokens else None
+
         # --- transformer blocks ---
         dpr = [
             float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
@@ -421,6 +468,7 @@ class MAESTNet(nn.Module):
                 gelu_approx=cfg.gelu_approx,
                 mesh=self.mesh,
                 sequence_parallel=cfg.sequence_parallel,
+                n_real=n_real,
                 name=f"blocks_{i}",
             )
             for i in range(cfg.depth)
@@ -434,7 +482,7 @@ class MAESTNet(nn.Module):
             for blk in blocks:
                 x = blk(x, not train)
                 if return_layer_tokens:
-                    layer_tokens.append(x)
+                    layer_tokens.append(x[:, :n_tokens])
             x = _layer_norm(epsilon=eps, dtype=self.dtype, name="norm")(x)
             if cfg.distilled:
                 feats = (x[:, 0], x[:, 1])
@@ -453,7 +501,7 @@ class MAESTNet(nn.Module):
             x = blk(x, not train)
         cls_out = x[:, 0, :]
         dist_out = x[:, 1, :]
-        mean_out = jnp.mean(x[:, 2:, :], axis=1)
+        mean_out = jnp.mean(x[:, 2:n_tokens, :], axis=1)
         return None, jnp.concatenate([cls_out, dist_out, mean_out], axis=1)
 
     def _per_freq_patch_embed(self, x: jnp.ndarray) -> jnp.ndarray:

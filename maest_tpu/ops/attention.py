@@ -168,13 +168,14 @@ def _unflatten(x, b: int, n: int, h: int, d: int):
 
 
 def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
-                   with_lse: bool = True):
+                   with_lse: bool = True, n_real: int | None = None):
     """q, k, v: (B, N, H, D) -> (out (B, N, H, D), lse (B*H, 1, N_pad)).
 
     ``with_lse=False`` (the inference primal) emits only the output —
     the extra lse store measured ~5% of the whole model step.
     """
     b, n, h, d = q.shape
+    nr = n if n_real is None else n_real
     scale = d**-0.5
     n_pad = _round_up(n, 128)
     bq = _pick_block(n_pad, block_q)
@@ -196,7 +197,7 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
         out_specs.append(pl.BlockSpec((g, 1, bq), lambda i, j: (i, 0, j)))
     # with one output pallas passes 4 refs and lse_ref defaults to None
     res = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_real=n, block_k=bk),
+        functools.partial(_attn_kernel, scale=scale, n_real=nr, block_k=bk),
         out_shape=out_shape,
         grid=grid,
         in_specs=[
@@ -212,9 +213,11 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
     return _unflatten(out, b, n, h, d), lse
 
 
-def _flash_fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool):
+def _flash_fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool,
+               n_real: int | None = None):
     return _flash_fwd_lse(q, k, v, block_q=block_q, block_k=block_k,
-                          interpret=interpret, with_lse=False)[0]
+                          interpret=interpret, with_lse=False,
+                          n_real=n_real)[0]
 
 
 def attention_reference(q, k, v):
@@ -399,7 +402,7 @@ def _bwd_dkv_kernel(q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 def _flash_bwd_split(q, k, v, o, lse, g, *, block_q: int, block_k: int,
-                     interpret: bool):
+                     interpret: bool, n_real: int | None = None):
     """Backward for sequences whose fp32 (block_q, N) intermediates exceed
     VMEM: two kernels with (block_q, block_k)-bounded working sets. The dq
     kernel streams key blocks through the grid; the dk/dv kernel streams q
@@ -419,7 +422,8 @@ def _flash_bwd_split(q, k, v, o, lse, g, *, block_q: int, block_k: int,
     )[:, None, :]  # (b*h, 1, n_pad)
 
     (dq,) = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, n_real=n),
+        functools.partial(_bwd_dq_kernel, scale=scale,
+                          n_real=n if n_real is None else n_real),
         out_shape=[jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32)],
         grid=(b * h, n_pad // bq, n_pad // bk),
         in_specs=[
@@ -435,7 +439,8 @@ def _flash_bwd_split(q, k, v, o, lse, g, *, block_q: int, block_k: int,
     )(qf, kt, vf, dof, lse, delta)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, n_real=n),
+        functools.partial(_bwd_dkv_kernel, scale=scale,
+                          n_real=n if n_real is None else n_real),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
@@ -464,7 +469,7 @@ def _flash_bwd_split(q, k, v, o, lse, g, *, block_q: int, block_k: int,
 
 
 def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
-               interpret: bool):
+               interpret: bool, n_real: int | None = None):
     b, n, h, d = q.shape
     scale = d**-0.5
     n_pad = _round_up(n, 128)
@@ -478,7 +483,8 @@ def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
            if bq == n_pad else 1)
     grid = (b * h // grp, n_pad // bq)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, n_real=n,
+        functools.partial(_attn_bwd_kernel, scale=scale,
+                          n_real=n if n_real is None else n_real,
                           block_k=bk),
         out_shape=[
             jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
@@ -557,16 +563,21 @@ def _validate_tuned_blocks(table=None):
 _validate_tuned_blocks()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_attention_vjp(q, k, v, block_q: int, block_k: int,
-                         interpret: bool):
+                         interpret: bool, n_real: int):
     return _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
-                      interpret=interpret)
+                      interpret=interpret, n_real=n_real)
 
 
 def flash_attention(q, k, v, block_q: int | None = None,
-                    block_k: int | None = None, interpret: bool = False):
+                    block_k: int | None = None, interpret: bool = False,
+                    n_real: int | None = None):
     """Fused multi-head attention; inputs/outputs (B, N, H, D).
+
+    ``n_real``: number of REAL tokens when the caller already padded the
+    sequence axis (pad-once residual stream); keys/queries at positions
+    >= n_real are treated as padding. Defaults to N.
 
     ``block_q``/``block_k`` default to measured per-N tuning
     (``_TUNED_FWD_BLOCKS``) with a generic fallback; pass explicit values
@@ -578,12 +589,13 @@ def flash_attention(q, k, v, block_q: int | None = None,
     """
     tq, tk = _TUNED_FWD_BLOCKS.get(_round_up(q.shape[1], 128), (896, 448))
     return _flash_attention_vjp(q, k, v, block_q or tq, block_k or tk,
-                                interpret)
+                                interpret,
+                                q.shape[1] if n_real is None else n_real)
 
 
-def _fwd(q, k, v, block_q, block_k, interpret):
+def _fwd(q, k, v, block_q, block_k, interpret, n_real):
     out, lse = _flash_fwd_lse(q, k, v, block_q=block_q, block_k=block_k,
-                              interpret=interpret)
+                              interpret=interpret, n_real=n_real)
     return out, (q, k, v, out, lse)
 
 
@@ -610,7 +622,7 @@ def _pick_bwd_block(n_pad: int) -> int:
     return best
 
 
-def _bwd(block_q, block_k, interpret, res, g):
+def _bwd(block_q, block_k, interpret, n_real, res, g):
     q, k, v, o, lse = res
     # Backward q blocks are picked by the VMEM rule above, independent of
     # the forward tuning; the kernel always sees the FULL key range per
@@ -628,9 +640,9 @@ def _bwd(block_q, block_k, interpret, res, g):
         # (VMEM pressure) and 2304^2 fails to compile.
         return _flash_bwd_split(q, k, v, o, lse, g,
                                 block_q=1152, block_k=1152,
-                                interpret=interpret)
+                                interpret=interpret, n_real=n_real)
     return _flash_bwd(q, k, v, o, lse, g, block_q=_pick_bwd_block(n_pad),
-                      block_k=1 << 30, interpret=interpret)
+                      block_k=1 << 30, interpret=interpret, n_real=n_real)
 
 
 _flash_attention_vjp.defvjp(_fwd, _bwd)
@@ -638,7 +650,8 @@ _flash_attention_vjp.defvjp(_fwd, _bwd)
 
 def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
                             block_k: int | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            n_real: int | None = None):
     """flash_attention under a multi-device mesh via shard_map.
 
     Attention is embarrassingly parallel over (batch, heads): batch shards
@@ -662,7 +675,7 @@ def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
 
     fn = shard_map(
         partial(flash_attention, block_q=block_q, block_k=block_k,
-                interpret=interpret),
+                interpret=interpret, n_real=n_real),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

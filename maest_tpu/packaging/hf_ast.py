@@ -326,7 +326,9 @@ def save_torch_checkpoint(params, cfg: MAESTConfig, path: str,
     state = jax_to_torch_state(params, cfg)
     prefix = "net_swa." if swa_prefix else ""
     torch.save(
-        {prefix + k: torch.from_numpy(np.ascontiguousarray(v, np.float32))
+        # copy=True: jax buffers are read-only views and torch warns on
+        # (and forbids writing through) non-writable tensors
+        {prefix + k: torch.from_numpy(np.array(v, np.float32, copy=True))
          for k, v in state.items()},
         path,
     )

@@ -109,3 +109,85 @@ def test_grouped_heads_fwd_bwd_matches_reference(monkeypatch):
     for a, b_ in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3,
                                    atol=1e-4)
+
+
+def test_n_real_padded_inputs_match_reference():
+    """Pad-once residual stream: the caller pre-pads the sequence axis and
+    passes ``n_real``. Rows/keys >= n_real (deliberately filled with junk
+    here) must not influence the real prefix, and must receive zero
+    gradient (their upstream cotangent is zero after the model-side
+    slicing, and masked keys get no probability mass)."""
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(7), 4)
+    b, nr, n, h, d = 2, 119, 128, 2, 64
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+    junk = 37.0 * _rand(k4, (b, n - nr, h, d))
+    q = q.at[:, nr:].set(junk)
+    k = k.at[:, nr:].set(junk)
+    v = v.at[:, nr:].set(junk)
+
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True,
+                          n_real=nr)
+    ref = attention_reference(q[:, :nr], k[:, :nr], v[:, :nr])
+    np.testing.assert_allclose(np.asarray(out[:, :nr]), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, n_real=nr)
+        return jnp.sum(o[:, :nr] ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q[:, :nr], k[:, :nr], v[:, :nr])
+    for a, r in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a[:, :nr]), np.asarray(r),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(a[:, nr:]), 0.0, atol=1e-6)
+
+
+def test_pad_once_model_matches_xla_path(monkeypatch):
+    """End-to-end pad-once: MAESTNet pads the token axis once (ratio gate
+    permitting), runs every block at n_pad, and the sliced logits/tap must
+    match the unpadded XLA attention path on the same params."""
+    import dataclasses
+    import functools
+
+    from maest_tpu.models.config import MAESTConfig
+    from maest_tpu.models.vit import MAESTNet, init_params
+    from maest_tpu.ops import attention as A
+
+    # t=13 patch cols -> 9*13+2 = 119 tokens -> pad 128, ratio 1.076 < 1.15
+    cfg = MAESTConfig(img_size=(96, 136), embed_dim=64, depth=2, num_heads=4,
+                      num_classes=5)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 96, 136, 1)), jnp.float32
+    )
+
+    def run(impl_cfg):
+        net = MAESTNet(impl_cfg)
+        logits, feats = net.apply({"params": params}, x, train=False)
+        _, tap = net.apply({"params": params}, x, train=False,
+                           transformer_block=1)
+        return logits, feats, tap
+
+    ref_logits, ref_feats, ref_tap = run(
+        dataclasses.replace(cfg, attention_impl="xla")
+    )
+
+    orig_flash = A.flash_attention
+    monkeypatch.setattr(A, "use_flash", lambda n, d: True)
+    monkeypatch.setattr(
+        A, "flash_attention", functools.partial(orig_flash, interpret=True)
+    )
+    pad_logits, pad_feats, pad_tap = run(cfg)
+
+    np.testing.assert_allclose(np.asarray(pad_logits), np.asarray(ref_logits),
+                               rtol=1e-3, atol=1e-4)
+    for a, r in zip(pad_feats, ref_feats):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pad_tap), np.asarray(ref_tap),
+                               rtol=1e-3, atol=1e-4)
