@@ -265,6 +265,17 @@ class MAESTNet(nn.Module):
         "separated": (logits_cls, logits_dist, features), else (logits, x))
       * >=0: (None, 2304-d embeddings [cls | dist | mean(tokens)])
         (reference: models/maest.py:811-829)
+
+    ``forward_mode`` exposes the pipeline-parallel seams (see
+    maest_tpu/parallel/pipeline.py):
+      * "full" (default): the whole network.
+      * "front": patch embed → pos embeds → patchout → token assembly →
+        pad-once; returns ``(tokens, n_tokens)`` where ``tokens`` is
+        (B, n_res, E) and ``n_tokens`` the real-token count (n_res >
+        n_tokens when the pad-once fast path padded the stream).
+      * "tail": input is the post-trunk residual stream; runs the final
+        norm + heads and returns the usual ``transformer_block == -1``
+        tuple.
     """
 
     cfg: MAESTConfig
@@ -283,10 +294,25 @@ class MAESTNet(nn.Module):
         transformer_block: int = -1,
         return_self_attention: bool = False,
         return_layer_tokens: bool = False,
+        forward_mode: str = "full",
     ):
         cfg = self.cfg
         eps = cfg.layer_norm_eps
         b = x.shape[0]
+
+        if forward_mode not in ("full", "front", "tail"):
+            raise ValueError(f"unknown forward_mode {forward_mode!r}")
+        if forward_mode != "full" and (
+            transformer_block != -1 or return_self_attention
+            or return_layer_tokens
+        ):
+            raise ValueError(
+                "front/tail forward modes only support the plain "
+                "transformer_block == -1 forward"
+            )
+        if forward_mode == "tail":
+            # x is the (B, n_res, E) residual stream after the trunk
+            return self._tail(x.astype(self.dtype))
 
         # --- patch embedding (reference: models/maest.py:214-256) ---
         x = x.astype(self.dtype)
@@ -444,6 +470,9 @@ class MAESTNet(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, n_res - n_tokens), (0, 0)))
         n_real = n_tokens if n_res != n_tokens else None
 
+        if forward_mode == "front":
+            return x, n_tokens
+
         # --- transformer blocks ---
         dpr = [
             float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
@@ -483,12 +512,7 @@ class MAESTNet(nn.Module):
                 x = blk(x, not train)
                 if return_layer_tokens:
                     layer_tokens.append(x[:, :n_tokens])
-            x = _layer_norm(epsilon=eps, dtype=self.dtype, name="norm")(x)
-            if cfg.distilled:
-                feats = (x[:, 0], x[:, 1])
-            else:
-                feats = x[:, 0]
-            out = self._heads(feats)
+            out = self._tail(x)
             if return_layer_tokens:
                 return out + (tuple(layer_tokens),)
             return out
@@ -537,6 +561,19 @@ class MAESTNet(nn.Module):
             precision=_tier_precision(self.dtype),
         )
         return out + bias[None, :, None, :].astype(self.dtype)
+
+    def _tail(self, x):
+        """Final norm + classifier heads on the post-trunk residual stream
+        (padded rows, if any, never reach the heads — they only read tokens
+        0/1)."""
+        x = _layer_norm(
+            epsilon=self.cfg.layer_norm_eps, dtype=self.dtype, name="norm"
+        )(x)
+        if self.cfg.distilled:
+            feats = (x[:, 0], x[:, 1])
+        else:
+            feats = x[:, 0]
+        return self._heads(feats)
 
     def _heads(self, feats):
         """Classifier heads (reference: models/maest.py:570-582, 905-933)."""

@@ -134,32 +134,37 @@ def make_train_step(
             return loss, {"train_loss": loss}
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-
-        # NaN guard (beyond the reference, which has no failure detection —
-        # SURVEY §5): a non-finite loss or gradient skips the update instead
-        # of poisoning 87M parameters; the skip count is surfaced as a metric.
-        grads_ok = jnp.isfinite(metrics["train_loss"])
-        for leaf in jax.tree_util.tree_leaves(grads):
-            grads_ok &= jnp.all(jnp.isfinite(leaf))
-        new_params = jax.tree.map(
-            lambda new, old: jnp.where(grads_ok, new, old),
-            new_params, state.params,
-        )
-        new_opt = jax.tree.map(
-            lambda new, old: jnp.where(grads_ok, new, old)
-            if hasattr(new, "shape") else new,
-            new_opt, state.opt_state,
-        )
-        metrics["nonfinite_skipped"] = (~grads_ok).astype(jnp.float32)
-
-        new_state = state.replace(
-            step=state.step + 1, params=new_params, opt_state=new_opt
-        )
-        return new_state, metrics
+        return apply_guarded_update(state, tx, grads, metrics)
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def apply_guarded_update(state: TrainState, tx, grads, metrics):
+    """Optimizer update with the NaN guard (beyond the reference, which has
+    no failure detection — SURVEY §5): a non-finite loss or gradient skips
+    the update instead of poisoning 87M parameters; the skip count is
+    surfaced as a metric. Shared by the plain and pipeline-parallel steps."""
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+
+    grads_ok = jnp.isfinite(metrics["train_loss"])
+    for leaf in jax.tree_util.tree_leaves(grads):
+        grads_ok &= jnp.all(jnp.isfinite(leaf))
+    new_params = jax.tree.map(
+        lambda new, old: jnp.where(grads_ok, new, old),
+        new_params, state.params,
+    )
+    new_opt = jax.tree.map(
+        lambda new, old: jnp.where(grads_ok, new, old)
+        if hasattr(new, "shape") else new,
+        new_opt, state.opt_state,
+    )
+    metrics["nonfinite_skipped"] = (~grads_ok).astype(jnp.float32)
+
+    new_state = state.replace(
+        step=state.step + 1, params=new_params, opt_state=new_opt
+    )
+    return new_state, metrics
 
 
 def make_eval_step(
