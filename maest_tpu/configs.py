@@ -35,6 +35,7 @@ def default_config() -> dict:
             "default_root_dir": "exp_logs",
             "model_parallel": 1,
             "sequence_parallel": False,  # Megatron-SP (needs model_parallel>1)
+            "fsdp": False,  # ZeRO-3: shard params+opt state over the data axis
             "resilient": False,  # restart from ckpt on infra failures
             "max_restarts": 3,
         },

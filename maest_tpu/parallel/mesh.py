@@ -78,36 +78,53 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_spec(path: tuple, shape: tuple) -> P:
-    """Megatron-style partition specs for MAEST params over the model axis.
+def param_spec(path: tuple, shape: tuple, *, fsdp_shards: int = 1) -> P:
+    """Partition specs for MAEST params.
 
-    qkv / fc1 kernels split the output dim; proj / fc2 kernels split the
-    input dim, so each block needs one reduce-scatter-equivalent collective
-    pair which XLA inserts automatically.
+    Megatron-style TP over the ``model`` axis: qkv / fc1 kernels split the
+    output dim; proj / fc2 kernels split the input dim, so each block needs
+    one reduce-scatter-equivalent collective pair which XLA inserts
+    automatically.
+
+    ``fsdp_shards > 1`` additionally shards each param over the ``data``
+    axis (ZeRO-3-style fully-sharded data parallelism — beyond the
+    reference, whose DDP replicates the full model per rank,
+    ex_maest.py:57): the largest dim not already taken by TP and divisible
+    by the data-axis size gets ``data`` added to its spec. XLA then
+    all-gathers each weight just-in-time at its use site and
+    reduce-scatters its gradient, and the optimizer state stays sharded —
+    params + Adam moments cost 1/DP of the replicated footprint.
     """
     keys = tuple(str(k) for k in path)
     name = "/".join(keys)
-    if len(shape) < 2:
-        return P()
-    if "attn" in name and "qkv" in name and name.endswith("kernel"):
-        return P(None, "model")
-    if "attn" in name and "proj" in name and name.endswith("kernel"):
-        return P("model", None)
-    if "mlp" in name and "fc1" in name and name.endswith("kernel"):
-        return P(None, "model")
-    if "mlp" in name and "fc2" in name and name.endswith("kernel"):
-        return P("model", None)
-    return P()
+    spec = [None] * len(shape)
+    if len(shape) >= 2:
+        if "attn" in name and "qkv" in name and name.endswith("kernel"):
+            spec[1] = "model"
+        elif "attn" in name and "proj" in name and name.endswith("kernel"):
+            spec[0] = "model"
+        elif "mlp" in name and "fc1" in name and name.endswith("kernel"):
+            spec[1] = "model"
+        elif "mlp" in name and "fc2" in name and name.endswith("kernel"):
+            spec[0] = "model"
+    if fsdp_shards > 1:
+        free = [d for d in range(len(shape))
+                if spec[d] is None and shape[d] % fsdp_shards == 0]
+        if free:
+            spec[max(free, key=lambda d: shape[d])] = "data"
+    return P(*spec)
 
 
-def shard_params(params, mesh: Mesh):
-    """Place a param pytree on the mesh with model-parallel specs."""
+def shard_params(params, mesh: Mesh, *, fsdp: bool = False):
+    """Place a param pytree on the mesh with model-parallel (and, with
+    ``fsdp=True``, ZeRO-3 data-axis) specs."""
     import flax
 
+    fsdp_shards = mesh.shape["data"] if fsdp else 1
     flat = flax.traverse_util.flatten_dict(params)
     out = {}
     for path, leaf in flat.items():
-        spec = param_spec(path, np.shape(leaf))
+        spec = param_spec(path, np.shape(leaf), fsdp_shards=fsdp_shards)
         out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
     return flax.traverse_util.unflatten_dict(out)
 
@@ -126,13 +143,16 @@ def ensure_on_mesh(tree, mesh: Mesh):
     return jax.tree.map(fix, tree)
 
 
-def param_shardings(params, mesh: Mesh):
+def param_shardings(params, mesh: Mesh, *, fsdp: bool = False):
     """Matching pytree of NamedShardings (for jit in/out shardings)."""
     import flax
 
+    fsdp_shards = mesh.shape["data"] if fsdp else 1
     flat = flax.traverse_util.flatten_dict(params)
     out = {
-        path: NamedSharding(mesh, param_spec(path, np.shape(leaf)))
+        path: NamedSharding(
+            mesh, param_spec(path, np.shape(leaf), fsdp_shards=fsdp_shards)
+        )
         for path, leaf in flat.items()
     }
     return flax.traverse_util.unflatten_dict(out)

@@ -153,7 +153,10 @@ class Trainer:
         )
 
         with self.mesh:
-            params = shard_params(params, self.mesh)
+            params = shard_params(
+                params, self.mesh,
+                fsdp=bool(tr.get("fsdp")) and self.n_data > 1,
+            )
             self.state = TrainState.create(params, self.tx)
             # scalars/opt counters must live on the mesh, not device 0
             from ..parallel.mesh import ensure_on_mesh

@@ -43,7 +43,8 @@ def _batch(mesh, n=8):
     }
 
 
-def _run_steps(mesh, model_parallel, steps=2, sequence_parallel=False):
+def _run_steps(mesh, model_parallel, steps=2, sequence_parallel=False,
+               fsdp=False):
     cfg = _tiny_cfg()
     if sequence_parallel:
         cfg = cfg.replace(sequence_parallel=True)
@@ -61,7 +62,7 @@ def _run_steps(mesh, model_parallel, steps=2, sequence_parallel=False):
             state, m = step_fn(state, batch, key)
         return state, m
     with mesh:
-        params = shard_params(params, mesh)
+        params = shard_params(params, mesh, fsdp=fsdp)
         state = TrainState.create(params, tx)
         batch = _batch(mesh)
         for _ in range(steps):
@@ -105,6 +106,49 @@ def test_dp_tp_sp_train_step_matches():
     l1 = np.asarray(state_1.params["blocks_0"]["attn"]["qkv"]["kernel"])
     lsp = np.asarray(state_sp.params["blocks_0"]["attn"]["qkv"]["kernel"])
     np.testing.assert_allclose(l1, lsp, rtol=1e-4, atol=1e-6)
+
+
+def _data_sharded_fraction(tree):
+    leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "sharding")]
+    n_sharded = sum(
+        1 for l in leaves
+        if "data" in jax.tree.leaves(tuple(l.sharding.spec))
+    )
+    return n_sharded / max(1, len(leaves))
+
+
+def test_fsdp_matches_single_device():
+    """ZeRO-3 FSDP (params + Adam moments sharded over 'data') reproduces
+    single-device training, and the updated state actually STAYS sharded —
+    each device holds 1/8 of every shardable tensor."""
+    state_1, m1 = _run_steps(None, 1)
+    mesh = make_mesh(8, model_parallel=1)
+    state_f, mf = _run_steps(mesh, 1, fsdp=True)
+    np.testing.assert_allclose(
+        float(m1["train_loss"]), float(mf["train_loss"]), rtol=1e-5
+    )
+    l1 = np.asarray(state_1.params["blocks_0"]["attn"]["qkv"]["kernel"])
+    lf = np.asarray(state_f.params["blocks_0"]["attn"]["qkv"]["kernel"])
+    np.testing.assert_allclose(l1, lf, rtol=1e-4, atol=1e-6)
+    # embed_dim 128 divides 8, so every >=1-dim tensor should carry 'data'
+    assert _data_sharded_fraction(state_f.params) > 0.9
+    # Adam moments inherit the param sharding (ZeRO: opt state 1/DP too)
+    assert _data_sharded_fraction(state_f.opt_state) > 0.5
+
+
+def test_fsdp_tp_train_step_matches():
+    """FSDP composes with TP: kernels split over 'model' on one dim and
+    'data' on the other (hybrid sharded layout)."""
+    from maest_tpu.parallel.mesh import param_spec
+
+    state_1, m1 = _run_steps(None, 1)
+    mesh = make_mesh(8, model_parallel=2)
+    state_f, mf = _run_steps(mesh, 2, fsdp=True)
+    np.testing.assert_allclose(
+        float(m1["train_loss"]), float(mf["train_loss"]), rtol=1e-5
+    )
+    assert param_spec(("blocks_0", "attn", "qkv", "kernel"), (128, 384),
+                      fsdp_shards=4) == P("data", "model")
 
 
 def test_param_sharding_specs():
