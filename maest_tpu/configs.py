@@ -36,6 +36,8 @@ def default_config() -> dict:
             "model_parallel": 1,
             "sequence_parallel": False,  # Megatron-SP (needs model_parallel>1)
             "fsdp": False,  # ZeRO-3: shard params+opt state over the data axis
+            "pipeline_parallel": 0,  # >1: GPipe stages over a 'pipe' mesh axis
+            "num_microbatches": 4,  # GPipe microbatches per step
             "resilient": False,  # restart from ckpt on infra failures
             "max_restarts": 3,
         },

@@ -116,7 +116,25 @@ class Trainer:
         self.cfg = cfg
         tr = cfg["trainer"]
         self.dtype = _precision_dtype(tr["precision"])
-        self.mesh = make_mesh(tr["devices"], tr.get("model_parallel", 1))
+        pp = int(tr.get("pipeline_parallel") or 0)
+        self.pipeline_parallel = pp if pp > 1 else 0
+        self.num_microbatches = int(tr.get("num_microbatches") or 4)
+        if self.pipeline_parallel:
+            if tr.get("model_parallel", 1) > 1 or tr.get("sequence_parallel"):
+                raise ValueError(
+                    "pipeline_parallel does not compose with model_parallel/"
+                    "sequence_parallel (pick one trunk-sharding strategy)"
+                )
+            if tr.get("fsdp"):
+                raise ValueError(
+                    "fsdp + pipeline_parallel is unsupported: pipeline "
+                    "stages need replicated per-stage params inside shard_map"
+                )
+            from ..parallel.pipeline import make_pipeline_mesh
+
+            self.mesh = make_pipeline_mesh(tr["devices"], num_stages=pp)
+        else:
+            self.mesh = make_mesh(tr["devices"], tr.get("model_parallel", 1))
         self.n_data = self.mesh.shape["data"]
         self.teacher_student = cfg["datamodule"]["teacher_student"]["do"]
         self.aug = _augment_config(cfg)
@@ -127,10 +145,13 @@ class Trainer:
             self.model_cfg = self.model_cfg.replace(sequence_parallel=True)
         # Under a multi-device mesh the flash kernel runs inside a shard_map
         # region (GSPMD cannot partition a pallas_call directly); pass the
-        # mesh so Attention routes through flash_attention_sharded.
+        # mesh so Attention routes through flash_attention_sharded. The
+        # pipeline path does its own shard_map (stage compute is
+        # single-device inside it), so the net stays mesh-free there.
         self.net = MAESTNet(
             self.model_cfg, dtype=self.dtype,
-            mesh=self.mesh if self.mesh.size > 1 else None,
+            mesh=self.mesh
+            if (self.mesh.size > 1 and not self.pipeline_parallel) else None,
         )
         params = wrapper.params
 
@@ -153,21 +174,56 @@ class Trainer:
         )
 
         with self.mesh:
-            params = shard_params(
-                params, self.mesh,
-                fsdp=bool(tr.get("fsdp")) and self.n_data > 1,
-            )
+            if self.pipeline_parallel:
+                # stage params are selected inside the pipeline shard_map;
+                # storage stays the replicated checkpoint-mappable layout
+                from ..parallel.mesh import replicated
+
+                params = jax.device_put(params, replicated(self.mesh))
+            else:
+                params = shard_params(
+                    params, self.mesh,
+                    fsdp=bool(tr.get("fsdp")) and self.n_data > 1,
+                )
             self.state = TrainState.create(params, self.tx)
             # scalars/opt counters must live on the mesh, not device 0
             from ..parallel.mesh import ensure_on_mesh
 
             self.state = ensure_on_mesh(self.state, self.mesh)
-        self.train_step = make_train_step(
-            self.net, self.tx, self.aug, teacher_student=self.teacher_student
-        )
+        if self.pipeline_parallel:
+            from ..parallel.pipeline import (
+                make_pipeline_train_step,
+                pipeline_apply,
+            )
+
+            if cfg["datamodule"]["batch_size_train"] * self.n_data % (
+                self.n_data * self.num_microbatches
+            ):
+                raise ValueError(
+                    f"global train batch {self.global_batch} must divide by "
+                    f"data shards x num_microbatches = "
+                    f"{self.n_data} x {self.num_microbatches}"
+                )
+            self.train_step = make_pipeline_train_step(
+                self.net, self.tx, self.aug, mesh=self.mesh,
+                num_microbatches=self.num_microbatches,
+                teacher_student=self.teacher_student,
+            )
+            # eval streams one microbatch per stage (m=1): _pad_batches only
+            # guarantees divisibility by the data-axis size
+            eval_apply = lambda params, x: pipeline_apply(  # noqa: E731
+                self.net, params, x, self.mesh, num_microbatches=1,
+                train=False,
+            )
+        else:
+            self.train_step = make_train_step(
+                self.net, self.tx, self.aug,
+                teacher_student=self.teacher_student,
+            )
+            eval_apply = None
         self.eval_step = make_eval_step(
             self.net, self.aug, teacher_student=self.teacher_student,
-            with_swa=cfg["module"]["do_swa"],
+            with_swa=cfg["module"]["do_swa"], apply_fn=eval_apply,
         )
         self.batch_shard = batch_sharding(self.mesh)
 
@@ -405,6 +461,13 @@ class Trainer:
         """Exhaustive-window prediction, aggregated per file and written as
         .npy (reference: ex_maest.py:162-207)."""
         cfg = self.cfg
+        if self.pipeline_parallel:
+            raise NotImplementedError(
+                "embedding/logit extraction taps intermediate blocks, which "
+                "the pipeline front/trunk/tail split does not expose — run "
+                "extraction with trainer.pipeline_parallel=0 (inference "
+                "does not need pipeline memory relief)"
+            )
         dm = cfg["datamodule"]
         ds_cfg = _dataset_cfg(cfg)
         ds = ExhaustiveMelDataset(

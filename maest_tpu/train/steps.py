@@ -173,12 +173,21 @@ def make_eval_step(
     *,
     teacher_student: bool = False,
     with_swa: bool = True,
+    apply_fn=None,
 ):
     """Eval step running both live and SWA weights in one program
-    (reference: models/module.py:121-146)."""
+    (reference: models/module.py:121-146).
+
+    ``apply_fn(params, x) -> net output`` overrides the plain sequential
+    forward — the pipeline-parallel Trainer passes a ``pipeline_apply``
+    closure here so eval runs under the same (data, pipe) mesh.
+    """
+    if apply_fn is None:
+        def apply_fn(params, x):
+            return net.apply({"params": params}, x, train=False)
 
     def one(params, x, batch):
-        out = net.apply({"params": params}, x, train=False)
+        out = apply_fn(params, x)
         logits = out[0]
         loss = bce_with_logits(logits, batch["y"])
         logits = logits.astype(jnp.float32)

@@ -102,6 +102,34 @@ def test_train_and_resume(corpus, tmp_path):
     assert res == {"done": True}
 
 
+def test_train_pipeline_parallel(corpus, tmp_path):
+    """trainer.pipeline_parallel=2 trains end-to-end on a (data=2, pipe=2)
+    mesh: GPipe train step + m=1 pipelined eval, checkpoints written."""
+    res = run(["main", "with"] + _overrides(corpus, tmp_path, [
+        "trainer.devices=4",
+        "trainer.pipeline_parallel=2",
+        "trainer.num_microbatches=2",
+        "trainer.max_epochs=1",
+    ]))
+    assert res == {"done": True}
+    runs = sorted((tmp_path / "exp_logs").iterdir())
+    assert (runs[-1] / "checkpoints" / "best").exists()
+
+
+def test_pipeline_parallel_guards(corpus, tmp_path):
+    """PP rejects composing with TP and rejects the extraction command."""
+    with pytest.raises(ValueError, match="pipeline_parallel does not"):
+        run(["main", "with"] + _overrides(corpus, tmp_path, [
+            "trainer.devices=4", "trainer.pipeline_parallel=2",
+            "trainer.model_parallel=2",
+        ]))
+    with pytest.raises(NotImplementedError, match="extraction"):
+        run(["extract_embeddings", "with"] + _overrides(corpus, tmp_path, [
+            "trainer.devices=4", "trainer.pipeline_parallel=2",
+            "trainer.num_microbatches=2",
+        ]))
+
+
 def test_extract_embeddings(corpus, tmp_path):
     res = run(["extract_embeddings", "with"] + _overrides(corpus, tmp_path))
     assert res["n_files"] == 10
