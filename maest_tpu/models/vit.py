@@ -247,6 +247,32 @@ class Block(nn.Module):
         return x
 
 
+def block_kwargs(cfg, dtype, *, drop_path_rate: float = 0.0, mesh=None,
+                 sequence_parallel: Optional[bool] = None,
+                 n_real: Optional[int] = None) -> dict:
+    """Single source of truth for per-layer ``Block`` construction kwargs —
+    shared by ``MAESTNet.__call__`` and the pipeline-parallel trunk
+    (maest_tpu/parallel/pipeline.py), so a new cfg-driven Block argument
+    cannot silently diverge between the two."""
+    return dict(
+        dim=cfg.embed_dim,
+        num_heads=cfg.num_heads,
+        mlp_ratio=cfg.mlp_ratio,
+        qkv_bias=cfg.qkv_bias,
+        drop=cfg.drop_rate,
+        attn_drop=cfg.attn_drop_rate,
+        drop_path_rate=drop_path_rate,
+        eps=cfg.layer_norm_eps,
+        dtype=dtype,
+        attn_impl=cfg.attention_impl,
+        gelu_approx=cfg.gelu_approx,
+        mesh=mesh,
+        sequence_parallel=(cfg.sequence_parallel if sequence_parallel is None
+                           else sequence_parallel),
+        n_real=n_real,
+    )
+
+
 def _static_keep_indices(dim: int, drop_indices, interleave: int) -> np.ndarray | None:
     """Deterministic patchout index sets (reference: models/maest.py:703-766)."""
     if drop_indices:
@@ -484,20 +510,8 @@ class MAESTNet(nn.Module):
             block_cls = nn.remat(Block, static_argnums=(1, 2))
         blocks = [
             block_cls(
-                cfg.embed_dim,
-                cfg.num_heads,
-                mlp_ratio=cfg.mlp_ratio,
-                qkv_bias=cfg.qkv_bias,
-                drop=cfg.drop_rate,
-                attn_drop=cfg.attn_drop_rate,
-                drop_path_rate=dpr[i],
-                eps=eps,
-                dtype=self.dtype,
-                attn_impl=cfg.attention_impl,
-                gelu_approx=cfg.gelu_approx,
-                mesh=self.mesh,
-                sequence_parallel=cfg.sequence_parallel,
-                n_real=n_real,
+                **block_kwargs(cfg, self.dtype, drop_path_rate=dpr[i],
+                               mesh=self.mesh, n_real=n_real),
                 name=f"blocks_{i}",
             )
             for i in range(cfg.depth)

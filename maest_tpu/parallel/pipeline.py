@@ -44,7 +44,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.config import MAESTConfig
-from ..models.vit import Block
+from ..models.vit import Block, block_kwargs
 
 
 def make_pipeline_mesh(n_devices: Optional[int] = None,
@@ -79,24 +79,11 @@ def stack_block_params(params, depth: int):
 
 def _trunk_block(cfg: MAESTConfig, dtype, n_real: Optional[int]) -> Block:
     """The per-layer module the pipeline applies — identical math to the
-    blocks MAESTNet builds (mesh=None: inside shard_map each shard is a
-    single device, so the Pallas kernel is called directly)."""
-    return Block(
-        cfg.embed_dim,
-        cfg.num_heads,
-        mlp_ratio=cfg.mlp_ratio,
-        qkv_bias=cfg.qkv_bias,
-        drop=cfg.drop_rate,
-        attn_drop=cfg.attn_drop_rate,
-        drop_path_rate=0.0,
-        eps=cfg.layer_norm_eps,
-        dtype=dtype,
-        attn_impl=cfg.attention_impl,
-        gelu_approx=cfg.gelu_approx,
-        mesh=None,
-        sequence_parallel=False,
-        n_real=n_real,
-    )
+    blocks MAESTNet builds (``block_kwargs`` is the shared source of truth;
+    mesh=None: inside shard_map each shard is a single device, so the
+    Pallas kernel is called directly, and SP never composes with PP)."""
+    return Block(**block_kwargs(cfg, dtype, mesh=None,
+                                sequence_parallel=False, n_real=n_real))
 
 
 def pipeline_trunk(
@@ -137,9 +124,11 @@ def pipeline_trunk(
             f"= {d_shards} x {m}"
         )
     block = _trunk_block(cfg, dtype, n_real)
-    needs_dropout = train and cfg.drop_rate > 0.0
+    needs_dropout = train and (cfg.drop_rate > 0.0 or cfg.attn_drop_rate > 0.0)
     if needs_dropout and dropout_key is None:
-        raise ValueError("train with drop_rate > 0 requires dropout_key")
+        raise ValueError(
+            "train with drop_rate/attn_drop_rate > 0 requires dropout_key"
+        )
     if dropout_key is None:
         dropout_key = jax.random.PRNGKey(0)  # unused
 
@@ -163,7 +152,7 @@ def pipeline_trunk(
         def run_stage(h, t):
             def layer(h, xs_l):
                 p, lid = xs_l
-                k = jax.random.fold_in(jax.random.fold_in(dropout_key, lid), t)
+                k = jax.random.fold_in(jax.random.fold_in(key, lid), t)
                 return apply_block(p, h, k, not train), None
 
             h, _ = jax.lax.scan(layer, h, (stacked_local, local_ids))
@@ -247,18 +236,13 @@ def make_pipeline_train_step(
     teacher_student: bool = False,
     donate: bool = True,
 ):
-    """Pipeline-parallel twin of ``train.steps.make_train_step``: same
-    augmentation, loss, optimizer and NaN-guard semantics; the trunk runs
-    GPipe-pipelined over the mesh's ``pipe`` axis while the batch is
-    data-parallel over ``data``. With the shipped drop_rate = 0 configs the
-    loss is numerically identical to the sequential step."""
-    from ..train.steps import (
-        AugmentConfig,
-        _prepare,
-        apply_guarded_update,
-        bce_with_logits,
-    )
-    from ..ops.augment import mixup
+    """Pipeline-parallel twin of ``train.steps.make_train_step``: the same
+    step body (augmentation, mixup, loss, optimizer, NaN guard) via its
+    ``apply_fn`` hook, with the trunk GPipe-pipelined over the mesh's
+    ``pipe`` axis while the batch is data-parallel over ``data``. With the
+    shipped drop_rate = 0 configs the loss is numerically identical to the
+    sequential step."""
+    from ..train.steps import AugmentConfig, make_train_step
 
     aug = aug if aug is not None else AugmentConfig()
     cfg = net.cfg
@@ -269,39 +253,13 @@ def make_pipeline_train_step(
     if cfg.sequence_parallel:
         raise ValueError("sequence_parallel composes with TP, not PP")
 
-    def step(state, batch, rng: jax.Array):
-        rng = jax.random.fold_in(rng, state.step)
-        k_mask, k_mix, k_patch, _k_drop, k_dropout = jax.random.split(rng, 5)
-
-        x = _prepare(batch["x"], aug, k_mask, train=True)
-        targets = (batch["y"],) if not teacher_student else (
-            batch["y"], batch["y_teacher"],
+    def apply_fn(params, x, rngs):
+        return pipeline_apply(
+            net, params, x, mesh,
+            num_microbatches=num_microbatches, train=True, rngs=rngs,
         )
-        x, targets = mixup(k_mix, x, targets, aug.mixup_alpha)
 
-        def loss_fn(params):
-            out = pipeline_apply(
-                net, params, x, mesh,
-                num_microbatches=num_microbatches, train=True,
-                rngs={"patchout": k_patch, "dropout": k_dropout},
-            )
-            if teacher_student:
-                y_hat, y_hat_teacher = out[0], out[1]
-                loss_standard = bce_with_logits(y_hat, targets[0])
-                loss_teacher = bce_with_logits(y_hat_teacher, targets[1])
-                loss = (loss_standard + loss_teacher) / 2
-                return loss, {
-                    "train_loss": loss,
-                    "train_loss_standard": loss_standard,
-                    "train_loss_teacher": loss_teacher,
-                }
-            y_hat = out[0]
-            loss = bce_with_logits(y_hat, targets[0])
-            return loss, {"train_loss": loss}
-
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
-        return apply_guarded_update(state, tx, grads, metrics)
-
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return make_train_step(
+        net, tx, aug, teacher_student=teacher_student, donate=donate,
+        apply_fn=apply_fn,
+    )

@@ -196,9 +196,7 @@ class Trainer:
                 pipeline_apply,
             )
 
-            if cfg["datamodule"]["batch_size_train"] * self.n_data % (
-                self.n_data * self.num_microbatches
-            ):
+            if self.global_batch % (self.n_data * self.num_microbatches):
                 raise ValueError(
                     f"global train batch {self.global_batch} must divide by "
                     f"data shards x num_microbatches = "

@@ -86,6 +86,7 @@ def make_train_step(
     *,
     teacher_student: bool = False,
     donate: bool = True,
+    apply_fn=None,
 ):
     """Build the jitted train step.
 
@@ -93,7 +94,15 @@ def make_train_step(
     [and ``y_teacher`` (B, C) for teacher-student]. Loss is BCE, or the
     mean of student/teacher BCE for the TS variant
     (reference: models/module.py:73-102, 280-316).
+
+    ``apply_fn(params, x, rngs) -> net output`` overrides the plain
+    sequential forward — the pipeline-parallel step passes a
+    ``pipeline_apply`` closure here, sharing the whole augment / loss /
+    NaN-guard body.
     """
+    if apply_fn is None:
+        def apply_fn(params, x, rngs):
+            return net.apply({"params": params}, x, train=True, rngs=rngs)
 
     def step(state: TrainState, batch, rng: jax.Array):
         # Fold the step counter in on-device: callers pass one fixed base key
@@ -109,11 +118,10 @@ def make_train_step(
         x, targets = mixup(k_mix, x, targets, aug.mixup_alpha)
 
         def loss_fn(params):
-            out = net.apply(
-                {"params": params},
+            out = apply_fn(
+                params,
                 x,
-                train=True,
-                rngs={
+                {
                     "patchout": k_patch,
                     "droppath": k_drop,
                     "dropout": k_dropout,

@@ -167,6 +167,26 @@ def test_pipeline_teacher_student():
         assert abs(float(m[key]) - float(m_dp[key])) < 1e-6
 
 
+def test_pipeline_train_with_attention_dropout():
+    """Regression: attn_drop_rate > 0 with drop_rate == 0 must thread the
+    dropout rng into the pipelined blocks (it used to crash with
+    InvalidRngError because only drop_rate gated the rng plumbing)."""
+    cfg = _cfg(attn_drop_rate=0.1)
+    net = MAESTNet(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(lr_schedule=1e-4, adamw=True, weight_decay=1e-4)
+    mesh = make_pipeline_mesh(8, num_stages=2)
+    step = make_pipeline_train_step(net, tx, AugmentConfig(), mesh=mesh,
+                                    num_microbatches=2, donate=False)
+    batch = _batch()
+    with mesh:
+        st = TrainState.create(params, tx)
+        b = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+             for k, v in batch.items()}
+        _, m = step(st, b, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["train_loss"]))
+
+
 def test_stack_block_params_layout():
     cfg = _cfg()
     params = init_params(cfg, jax.random.PRNGKey(0))
