@@ -1,0 +1,294 @@
+"""TPU-native serving: dynamic cross-request batching over static-shape
+bucket programs.
+
+Beyond the reference, whose inference surface is a single-process Python
+API (reference: models/maest.py:935-939): production tagging on TPU wants
+
+  1. **static shapes** — one compiled program per batch bucket; arbitrary
+     request sizes are padded up to the nearest bucket so nothing ever
+     retraces,
+  2. **full batches** — the MXU is utilization-bound (batch 32 is the
+     measured throughput optimum on v5e, see docs/DESIGN.md), so chunks
+     from concurrent requests are batched together before they hit the
+     device, and
+  3. **async dispatch** — JAX dispatch is non-blocking, so the host
+     assembles batch N+1 while the device runs batch N; only the final
+     ``np.asarray`` fetch synchronises.
+
+The unit of batching is the *chunk* (one ``img_t``-frame mel window), not
+the request: a 90 s track contributes three 30 s chunks that ride in the
+same device batch as other clients' chunks, and its sigmoid activations
+are averaged per request afterwards — identical math to
+``MAEST.predict_labels`` (reference: models/maest.py:935-939).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+DEFAULT_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= n (the largest bucket if none fits; callers
+    split oversized batches first)."""
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]
+
+
+class BucketPrograms:
+    """Compiled sigmoid-activation programs, one per batch bucket.
+
+    ``run`` pads the chunk batch up to the nearest bucket, executes the
+    matching compiled program, and slices the padding back off — every
+    request shape maps onto a small, fixed set of XLA executables.
+    """
+
+    def __init__(self, model, buckets: Sequence[int] = DEFAULT_BUCKETS):
+        self.model = model
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        if not self.buckets or self.buckets[0] < 1:
+            raise ValueError(f"invalid buckets {buckets}")
+        net = model.net
+
+        @jax.jit
+        def activations(params, x):
+            logits = net.apply({"params": params}, x, train=False)[0]
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+        self._activations = activations
+
+    @property
+    def max_batch(self) -> int:
+        return self.buckets[-1]
+
+    def warmup(self) -> None:
+        """Compile every bucket program up front (first-request latency on
+        a cold server would otherwise include a full XLA compile)."""
+        img_f, img_t = self.model.cfg.img_size
+        for b in self.buckets:
+            x = jnp.zeros((b, img_f, img_t, 1), jnp.float32)
+            np.asarray(self._activations(self.model.params, x))
+
+    def run(self, chunks: np.ndarray) -> np.ndarray:
+        """(n, 96, img_t) mel chunks -> (n, num_classes) sigmoid
+        activations. n must be <= max_batch."""
+        n = chunks.shape[0]
+        if n > self.max_batch:
+            raise ValueError(f"batch {n} exceeds max bucket {self.max_batch}")
+        bucket = pick_bucket(n, self.buckets)
+        if bucket != n:
+            chunks = np.concatenate(
+                [chunks, np.zeros((bucket - n,) + chunks.shape[1:],
+                                  chunks.dtype)]
+            )
+        x = jnp.asarray(chunks, jnp.float32)[..., None]  # NHWC
+        acts = self._activations(self.model.params, x)
+        return np.asarray(acts)[:n]
+
+
+@dataclass
+class ServeStats:
+    """Running counters, exported by the /stats endpoint."""
+
+    requests: int = 0
+    chunks: int = 0
+    batches: int = 0
+    batched_chunks: int = 0
+    latency_ms: list = field(default_factory=list)
+
+    def snapshot(self) -> dict:
+        lat = sorted(self.latency_ms[-1024:])
+
+        def pct(p):
+            return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+
+        return {
+            "requests": self.requests,
+            "chunks": self.chunks,
+            "batches": self.batches,
+            "mean_batch_fill": (self.batched_chunks / self.batches
+                                if self.batches else 0.0),
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p99": pct(0.99),
+        }
+
+
+class _Pending:
+    __slots__ = ("chunks", "future", "t_submit", "consumed", "parts")
+
+    def __init__(self, chunks: np.ndarray):
+        self.chunks = chunks
+        self.future: Future = Future()
+        self.t_submit = time.monotonic()
+        self.consumed = 0  # chunks taken into device batches so far
+        self.parts: list = []  # per-batch activation slices, in order
+
+
+class DynamicBatcher:
+    """Batches chunk requests across clients before dispatching to the
+    device.
+
+    A background dispatcher thread drains the queue: it waits up to
+    ``max_wait_ms`` after the first pending request for more chunks to
+    arrive (a full batch dispatches immediately), packs up to
+    ``programs.max_batch`` chunks into one device call, and resolves each
+    request's Future with its own slice of the activations. Oversized
+    requests (> max_batch chunks) are split across consecutive batches
+    transparently.
+    """
+
+    def __init__(self, programs: BucketPrograms, max_wait_ms: float = 5.0):
+        self.programs = programs
+        self.max_wait_ms = float(max_wait_ms)
+        self.stats = ServeStats()
+        self._queue: list[_Pending] = []
+        self._lock = threading.Lock()
+        self._event = threading.Event()
+        self._stop = False
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        daemon=True)
+        self._thread.start()
+
+    def submit(self, chunks: np.ndarray) -> Future:
+        """Enqueue (n, 96, img_t) chunks; the Future resolves to the
+        (n, num_classes) activations for exactly those chunks."""
+        if chunks.ndim != 3:
+            raise ValueError(f"expected (n, f, t) chunks, got {chunks.shape}")
+        p = _Pending(np.asarray(chunks, np.float32))
+        with self._lock:
+            if self._stop:
+                raise RuntimeError("batcher is shut down")
+            self._queue.append(p)
+        self._event.set()
+        return p.future
+
+    def close(self) -> None:
+        with self._lock:
+            self._stop = True
+        self._event.set()
+        self._thread.join(timeout=10)
+        for p in self._queue:
+            if not p.future.done():
+                p.future.set_exception(RuntimeError("batcher shut down"))
+
+    # -- dispatcher ---------------------------------------------------------
+    def _dispatch_loop(self) -> None:
+        max_batch = self.programs.max_batch
+        while True:
+            self._event.wait()
+            with self._lock:
+                if self._stop and not self._queue:
+                    return
+                have = sum(p.chunks.shape[0] for p in self._queue)
+            if not have:
+                self._event.clear()
+                continue
+            # linger briefly for co-batching unless a full batch is ready
+            if have < max_batch and self.max_wait_ms > 0:
+                deadline = time.monotonic() + self.max_wait_ms / 1e3
+                while time.monotonic() < deadline:
+                    with self._lock:
+                        have = sum(p.chunks.shape[0] for p in self._queue)
+                    if have >= max_batch or self._stop:
+                        break
+                    time.sleep(min(0.001, self.max_wait_ms / 1e3))
+            self._drain_once(max_batch)
+
+    def _drain_once(self, max_batch: int) -> None:
+        """Take up to max_batch chunks (splitting an oversized head
+        request), run them as one device batch, resolve completed
+        requests."""
+        take: list[tuple[_Pending, int, int]] = []  # (req, start, count)
+        with self._lock:
+            room = max_batch
+            for p in list(self._queue):
+                if room == 0:
+                    break
+                n = p.chunks.shape[0] - p.consumed
+                c = min(n, room)
+                take.append((p, p.consumed, c))
+                p.consumed += c
+                room -= c
+                if p.consumed == p.chunks.shape[0]:
+                    self._queue.remove(p)
+            if not self._queue:
+                self._event.clear()
+        if not take:
+            return
+        batch = np.concatenate([p.chunks[s:s + c] for p, s, c in take])
+        try:
+            acts = self.programs.run(batch)
+        except Exception as e:  # resolve, don't kill the dispatcher
+            for p, _, _ in take:
+                if not p.future.done():
+                    p.future.set_exception(e)
+            return
+        self.stats.batches += 1
+        self.stats.batched_chunks += batch.shape[0]
+        off = 0
+        for p, _s, c in take:
+            p.parts.append(acts[off:off + c])
+            off += c
+            if sum(q.shape[0] for q in p.parts) == p.chunks.shape[0]:
+                p.future.set_result(np.concatenate(p.parts))
+
+
+class TagService:
+    """End-to-end tagging service: mel front-end + chunking + dynamic
+    batching + per-request activation averaging.
+
+    ``tag(waveform)`` is thread-safe and blocking; concurrent callers'
+    chunks share device batches. Results are identical to
+    ``MAEST.predict_labels`` (asserted by tests/test_serve.py).
+    """
+
+    def __init__(self, model, buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 max_wait_ms: float = 5.0, warmup: bool = False):
+        self.model = model
+        self.programs = BucketPrograms(model, buckets)
+        if warmup:
+            self.programs.warmup()
+        self.batcher = DynamicBatcher(self.programs, max_wait_ms=max_wait_ms)
+        self.labels = model.labels
+
+    def tag(self, waveform: np.ndarray, timeout: Optional[float] = 60.0):
+        """16 kHz mono waveform -> (activations (C,), labels). Long tracks
+        chunk into multiple windows averaged per request."""
+        t0 = time.monotonic()
+        mel = np.asarray(self.model.melspectrogram(
+            np.asarray(waveform, np.float32)))
+        chunks = np.asarray(
+            self.model._chunk_melspec(jnp.asarray(mel))
+        )[:, 0]  # (n, 96, img_t)
+        acts = self.tag_mel_chunks(chunks, timeout=timeout)
+        self.batcher.stats.requests += 1
+        self.batcher.stats.chunks += chunks.shape[0]
+        self.batcher.stats.latency_ms.append(
+            (time.monotonic() - t0) * 1e3)
+        return acts, self.labels
+
+    def tag_mel_chunks(self, chunks: np.ndarray,
+                       timeout: Optional[float] = 60.0) -> np.ndarray:
+        """(n, 96, img_t) pre-extracted mel windows -> (C,) mean sigmoid
+        activations (the ``predict_labels`` averaging semantics)."""
+        acts = self.batcher.submit(chunks).result(timeout=timeout)
+        return acts.mean(axis=0)
+
+    def stats(self) -> dict:
+        return self.batcher.stats.snapshot()
+
+    def close(self) -> None:
+        self.batcher.close()

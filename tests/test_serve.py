@@ -1,0 +1,172 @@
+"""Serving stack: bucket programs, dynamic cross-request batching, HTTP.
+
+The reference has no serving subsystem (inference is an in-process call,
+reference: models/maest.py:935-939); these tests pin the TPU-native
+batcher's core contract — served results are IDENTICAL to the direct
+``predict_labels`` math — plus the batching/splitting mechanics.
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from maest_tpu.api import get_maest
+from maest_tpu.serve import (
+    BucketPrograms,
+    DynamicBatcher,
+    TagService,
+    pick_bucket,
+)
+
+SR = 16000
+
+
+@pytest.fixture(scope="module")
+def model():
+    # tiny geometry: 1 s windows, 2 layers (full ViT-B compiles for minutes
+    # on the single-core CPU host)
+    m = get_maest(
+        arch="discogs-maest-30s-pw-129e", pretrained=False,
+        embed_dim=64, depth=2, num_heads=4, input_t=62, n_classes=16,
+    )
+    # the head is zero-init (reference weight init) so every activation is
+    # exactly 0.5 — perturb it so rankings are distinguishable
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    m.params["head_linear"]["kernel"] = jnp.asarray(
+        rng.standard_normal((64, 16)) * 0.1, jnp.float32)
+    return m
+
+
+def _wave(seconds, seed=0):
+    return np.random.default_rng(seed).standard_normal(
+        int(seconds * SR)).astype(np.float32)
+
+
+def test_pick_bucket():
+    assert pick_bucket(1, (1, 2, 4)) == 1
+    assert pick_bucket(3, (1, 2, 4)) == 4
+    assert pick_bucket(4, (1, 2, 4)) == 4
+    assert pick_bucket(9, (1, 2, 4)) == 4  # capped; callers split first
+
+
+def test_bucket_padding_matches_direct(model):
+    """Zero-pad rows up to the bucket must not change the real rows."""
+    import jax
+
+    progs = BucketPrograms(model, buckets=(1, 4, 8))
+    rng = np.random.default_rng(1)
+    chunks = rng.standard_normal((3, 96, 62)).astype(np.float32)
+    got = progs.run(chunks)
+
+    logits = model(chunks[:, None, :, :])[0]  # rank-4 NCHW dispatch
+    direct = np.asarray(jax.nn.sigmoid(np.asarray(logits, np.float32)))
+    np.testing.assert_allclose(got, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_service_matches_predict_labels(model):
+    """Multi-chunk request through the batcher == predict_labels."""
+    svc = TagService(model, buckets=(1, 2, 4, 8), max_wait_ms=0.0)
+    try:
+        wave = _wave(3.0)  # 3 chunks at the 1 s test geometry
+        acts, labels = svc.tag(wave)
+        ref_acts, ref_labels = model.predict_labels(wave)
+        assert labels == ref_labels
+        np.testing.assert_allclose(acts, ref_acts, rtol=1e-5, atol=1e-6)
+        assert svc.stats()["requests"] == 1
+    finally:
+        svc.close()
+
+
+def test_concurrent_requests_cobatch(model):
+    """Concurrent clients' chunks share device batches, and every client
+    still gets exactly its own answer."""
+    svc = TagService(model, buckets=(1, 2, 4, 8, 16), max_wait_ms=50.0)
+    try:
+        waves = [_wave(1.0, seed=i) for i in range(8)]
+        refs = [model.predict_labels(w)[0] for w in waves]
+        outs = [None] * len(waves)
+
+        def worker(i):
+            outs[i], _ = svc.tag(waves[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(waves))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for got, ref in zip(outs, refs):
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+        st = svc.stats()
+        assert st["requests"] == 8 and st["chunks"] == 8
+        # co-batching must have packed multiple requests per device call
+        assert st["batches"] < 8
+        assert st["mean_batch_fill"] > 1.0
+    finally:
+        svc.close()
+
+
+def test_oversized_request_splits(model):
+    """A request larger than the biggest bucket is split across device
+    batches transparently."""
+    svc = TagService(model, buckets=(1, 2, 4), max_wait_ms=0.0)
+    try:
+        wave = _wave(6.0)  # 6 chunks > max bucket 4
+        acts, _ = svc.tag(wave)
+        ref_acts, _ = model.predict_labels(wave)
+        np.testing.assert_allclose(acts, ref_acts, rtol=1e-5, atol=1e-6)
+        assert svc.stats()["batches"] >= 2
+    finally:
+        svc.close()
+
+
+def test_http_roundtrip(model):
+    """POST raw PCM -> ranked labels; /healthz and /stats respond."""
+    from maest_tpu.apps.serve import serve_forever
+
+    svc = TagService(model, buckets=(1, 2, 4), max_wait_ms=0.0)
+    server, _ = serve_forever(svc, "127.0.0.1", 0, top_k=5)
+    port = server.server_port
+    try:
+        wave = _wave(1.5)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tag", data=wave.tobytes(),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            res = json.loads(r.read())
+        assert len(res["labels"]) == 5
+        ref_acts, labels = model.predict_labels(wave)
+        assert labels is None  # tiny 16-class head has no vocabulary
+        assert res["labels"][0][0] == str(int(np.argmax(ref_acts)))
+        np.testing.assert_allclose(
+            res["labels"][0][1], float(ref_acts.max()), rtol=1e-4)
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert json.loads(r.read())["ok"]
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30
+        ) as r:
+            assert json.loads(r.read())["requests"] == 1
+
+        # JSON body path + error paths
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tag",
+            data=json.dumps({"waveform": wave[:SR].tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert len(json.loads(r.read())["labels"]) == 5
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=30)
+    finally:
+        server.shutdown()
+        svc.close()
