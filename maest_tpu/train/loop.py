@@ -291,25 +291,52 @@ class Trainer:
         )
 
     # -- checkpointing -------------------------------------------------------
-    def save_checkpoint(self, tag: str):
-        import orbax.checkpoint as ocp
+    def _checkpointer(self):
+        """Long-lived async checkpointer (orbax StandardCheckpointer is an
+        AsyncCheckpointer: ``save`` snapshots to host and commits in the
+        background, so the epoch's save overlaps the next epoch's
+        compute)."""
+        if getattr(self, "_ckptr", None) is None:
+            import orbax.checkpoint as ocp
 
+            self._ckptr = ocp.StandardCheckpointer()
+            self._pending_meta = []
+        return self._ckptr
+
+    def _flush_meta(self):
+        for tag, epoch in getattr(self, "_pending_meta", []) or []:
+            (self.run_dir / "checkpoints" / f"{tag}.meta.json").write_text(
+                json.dumps({"epoch": epoch})
+            )
+        self._pending_meta = []
+
+    def finalize_checkpoints(self):
+        """Block until every async save has committed, then write the
+        meta markers (resilience keys 'checkpoint usable' on the marker,
+        so it must appear only after the orbax commit)."""
+        if getattr(self, "_ckptr", None) is not None:
+            self._ckptr.wait_until_finished()
+            self._flush_meta()
+
+    def save_checkpoint(self, tag: str):
         path = (self.run_dir / "checkpoints" / tag).absolute()
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, dict(
-                params=self.state.params,
-                opt_state=self.state.opt_state,
-                swa_params=self.state.swa_params,
-                swa_n=self.state.swa_n,
-                step=self.state.step,
-            ), force=True)
-        (self.run_dir / "checkpoints" / f"{tag}.meta.json").write_text(
-            json.dumps({"epoch": self.epoch})
-        )
+        ckptr = self._checkpointer()
+        # one save in flight at a time: commit the previous one first
+        ckptr.wait_until_finished()
+        self._flush_meta()
+        ckptr.save(path, dict(
+            params=self.state.params,
+            opt_state=self.state.opt_state,
+            swa_params=self.state.swa_params,
+            swa_n=self.state.swa_n,
+            step=self.state.step,
+        ), force=True)
+        self._pending_meta.append((tag, self.epoch))
 
     def restore_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
 
+        self.finalize_checkpoints()
         target = dict(
             params=self.state.params,
             opt_state=self.state.opt_state,
@@ -392,6 +419,7 @@ class Trainer:
                     best_val = val["val_loss"]
                     self.save_checkpoint("best")
                 self.epoch += 1
+        self.finalize_checkpoints()
         return {"done": True}
 
     def _run_eval(self, dataset, stage: str) -> dict:

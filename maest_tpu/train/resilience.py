@@ -153,6 +153,13 @@ def fit_with_recovery(
             restarts += 1
             # on a construction failure keep resuming from the previous
             # attempt's checkpoint (already in cfg["ckpt_path"])
+            if trainer is not None:
+                try:
+                    # async saves: surface any committed-but-unmarked
+                    # checkpoint before scanning for the newest one
+                    trainer.finalize_checkpoints()
+                except Exception:  # the device may be gone entirely
+                    pass
             ckpt = latest_checkpoint(trainer.run_dir) if trainer else None
             _logger.warning(
                 "recoverable failure (%s: %s); restart %d/%d from %s",
