@@ -41,6 +41,8 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="comma-separated batch buckets to precompile")
     ap.add_argument("--no-pretrained", dest="pretrained",
                     action="store_false", default=True)
+    ap.add_argument("--devices", type=int, default=None,
+                    help="serve over an N-chip mesh (chunk-DP + head-TP)")
     ap.add_argument("--no-warmup", dest="warmup", action="store_false",
                     default=True, help="skip bucket precompilation")
     ap.add_argument("--dtype", default="bfloat16",
@@ -61,13 +63,18 @@ def make_service(args):
     from ..api import get_maest
     from ..serve import TagService
 
+    mesh = None
+    if args.devices and args.devices > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.devices)
     model = get_maest(
         arch=args.arch, pretrained=args.pretrained,
         checkpoint=args.checkpoint,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         embed_dim=args.embed_dim, depth=args.depth,
         num_heads=args.num_heads, input_t=args.input_t,
-        n_classes=args.n_classes,
+        n_classes=args.n_classes, mesh=mesh,
     )
     buckets = tuple(int(b) for b in args.buckets.split(","))
     return TagService(model, buckets=buckets, max_wait_ms=args.max_wait_ms,

@@ -58,9 +58,22 @@ class BucketPrograms:
 
     def __init__(self, model, buckets: Sequence[int] = DEFAULT_BUCKETS):
         self.model = model
-        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
-        if not self.buckets or self.buckets[0] < 1:
+        self.mesh = getattr(model, "mesh", None)
+        buckets = sorted(set(int(b) for b in buckets))
+        if not buckets or buckets[0] < 1:
             raise ValueError(f"invalid buckets {buckets}")
+        if self.mesh is not None:
+            # multi-chip serving (chunk-DP + head-TP, same layout as
+            # MAEST.__call__): every bucket must fill the data axis
+            n_data = self.mesh.shape["data"]
+            buckets = sorted(set(
+                -(-b // n_data) * n_data for b in buckets))
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._in_sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+        else:
+            self._in_sharding = None
+        self.buckets = tuple(buckets)
         net = model.net
 
         @jax.jit
@@ -80,7 +93,14 @@ class BucketPrograms:
         img_f, img_t = self.model.cfg.img_size
         for b in self.buckets:
             x = jnp.zeros((b, img_f, img_t, 1), jnp.float32)
-            np.asarray(self._activations(self.model.params, x))
+            np.asarray(self._run_program(x))
+
+    def _run_program(self, x):
+        if self._in_sharding is not None:
+            x = jax.device_put(x, self._in_sharding)
+            with self.mesh:
+                return self._activations(self.model.params, x)
+        return self._activations(self.model.params, x)
 
     def run(self, chunks: np.ndarray) -> np.ndarray:
         """(n, 96, img_t) mel chunks -> (n, num_classes) sigmoid
@@ -95,7 +115,7 @@ class BucketPrograms:
                                   chunks.dtype)]
             )
         x = jnp.asarray(chunks, jnp.float32)[..., None]  # NHWC
-        acts = self._activations(self.model.params, x)
+        acts = self._run_program(x)
         return np.asarray(acts)[:n]
 
 

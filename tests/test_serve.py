@@ -125,6 +125,37 @@ def test_oversized_request_splits(model):
         svc.close()
 
 
+def test_mesh_serving_matches_single_device(model):
+    """TagService over a (data=4, model=2) mesh: buckets round up to the
+    data-axis size and served results match the single-device service."""
+    from maest_tpu.api import get_maest
+    from maest_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, model_parallel=2)
+    sharded = get_maest(
+        arch="discogs-maest-30s-pw-129e", pretrained=False,
+        embed_dim=64, depth=2, num_heads=4, input_t=62, n_classes=16,
+        mesh=mesh,
+    )
+    # reuse the perturbed head so rankings are meaningful
+    from maest_tpu.parallel.mesh import shard_params
+
+    p = dict(sharded.params)
+    p["head_linear"] = dict(p["head_linear"])
+    p["head_linear"]["kernel"] = model.params["head_linear"]["kernel"]
+    sharded.params = shard_params(p, mesh)
+
+    svc = TagService(sharded, buckets=(1, 2, 8), max_wait_ms=0.0)
+    try:
+        assert svc.programs.buckets == (4, 8)  # rounded to data-axis size
+        wave = _wave(3.0)
+        acts, _ = svc.tag(wave)
+        ref_acts, _ = model.predict_labels(wave)
+        np.testing.assert_allclose(acts, ref_acts, rtol=2e-5, atol=2e-5)
+    finally:
+        svc.close()
+
+
 def test_http_roundtrip(model):
     """POST raw PCM -> ranked labels; /healthz and /stats respond."""
     from maest_tpu.apps.serve import serve_forever
