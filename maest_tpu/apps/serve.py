@@ -6,7 +6,9 @@ call, reference: models/maest.py:935-939); this stdlib-only front-end puts
 cross-request batching — behind three endpoints:
 
     POST /tag      raw little-endian float32 16 kHz mono PCM
-                   (Content-Type: application/octet-stream), or JSON
+                   (Content-Type: application/octet-stream), s16le PCM
+                   (Content-Type: audio/l16 — half the wire bytes,
+                   decoded on-device; native-length clips only), or JSON
                    {"waveform": [...]} -> {"labels": [[name, score]...]}
     GET  /healthz  liveness probe
     GET  /stats    batching / latency counters (JSON)
@@ -78,7 +80,7 @@ def make_service(args):
     )
     buckets = tuple(int(b) for b in args.buckets.split(","))
     return TagService(model, buckets=buckets, max_wait_ms=args.max_wait_ms,
-                      warmup=args.warmup)
+                      warmup=args.warmup, warmup_pcm16=args.warmup)
 
 
 def make_handler(service, top_k: int):
@@ -109,11 +111,14 @@ def make_handler(service, top_k: int):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n)
-                if self.headers.get("Content-Type", "").startswith(
-                    "application/json"
-                ):
+                ct = self.headers.get("Content-Type", "")
+                if ct.startswith("application/json"):
                     wave = np.asarray(
                         json.loads(raw)["waveform"], np.float32)
+                elif ct.startswith("audio/l16"):
+                    # s16le PCM: half the wire bytes of float32, decoded
+                    # on-device (native-length clips only)
+                    wave = np.frombuffer(raw, np.int16)
                 else:
                     wave = np.frombuffer(raw, np.float32)
                 if wave.size == 0:

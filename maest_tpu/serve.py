@@ -51,14 +51,28 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
 class BucketPrograms:
     """Compiled sigmoid-activation programs, one per batch bucket.
 
-    ``run`` pads the chunk batch up to the nearest bucket, executes the
-    matching compiled program, and slices the padding back off — every
-    request shape maps onto a small, fixed set of XLA executables.
+    ``run`` pads the batch up to the nearest bucket, executes the matching
+    compiled program, and slices the padding back off — every request
+    shape maps onto a small, fixed set of XLA executables.
+
+    Two program families:
+      * mel-chunk (default): elements are (96, img_t) mel windows —
+        the fallback for arbitrary-length audio (mel runs per request).
+      * fused wave (``fused_wave=True``): elements are native-length
+        (img_t * hop samples) waveforms; the mel front-end, ViT and
+        sigmoid run in ONE XLA program, so a clip costs a single
+        host->device transfer and concurrent clips share that one
+        dispatch — the serving hot path over a high-latency device link.
     """
 
-    def __init__(self, model, buckets: Sequence[int] = DEFAULT_BUCKETS):
+    def __init__(self, model, buckets: Sequence[int] = DEFAULT_BUCKETS,
+                 fused_wave: bool = False, pcm16: bool = False):
+        if pcm16 and not fused_wave:
+            raise ValueError("pcm16 requires fused_wave")
         self.model = model
         self.mesh = getattr(model, "mesh", None)
+        self.fused_wave = fused_wave
+        self.pcm16 = pcm16
         buckets = sorted(set(int(b) for b in buckets))
         if not buckets or buckets[0] < 1:
             raise ValueError(f"invalid buckets {buckets}")
@@ -75,11 +89,42 @@ class BucketPrograms:
             self._in_sharding = None
         self.buckets = tuple(buckets)
         net = model.net
+        img_f, img_t = model.cfg.img_size
 
-        @jax.jit
-        def activations(params, x):
-            logits = net.apply({"params": params}, x, train=False)[0]
-            return jax.nn.sigmoid(logits.astype(jnp.float32))
+        if fused_wave:
+            from .dsp import HOP_LENGTH, log_mel_spectrogram
+
+            self.native_len = img_t * HOP_LENGTH
+            self.elem_shape = (self.native_len,)
+            self.elem_dtype = np.int16 if pcm16 else np.float32
+            # GSPMD cannot partition the Pallas mel kernel; under a mesh
+            # the in-program mel falls back to the XLA path (same numbers)
+            mel_impl = "xla" if self.mesh is not None else "auto"
+
+            @jax.jit
+            def activations(params, w):  # (b, native_len) waveforms
+                if pcm16:
+                    # s16le PCM decodes ON DEVICE: the host->device link is
+                    # the serving bottleneck (not MXU time), so halving the
+                    # wire bytes halves the batch cycle
+                    w = w.astype(jnp.float32) / 32768.0
+                mel = log_mel_spectrogram(w, impl=mel_impl)  # (b, 96, T)
+                x = mel[:, :, :img_t][..., None]
+                logits = net.apply({"params": params}, x, train=False)[0]
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+            self._prep = lambda b: jnp.asarray(b)
+        else:
+            self.native_len = None
+            self.elem_shape = (img_f, img_t)
+            self.elem_dtype = np.float32
+
+            @jax.jit
+            def activations(params, x):
+                logits = net.apply({"params": params}, x, train=False)[0]
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+            self._prep = lambda b: jnp.asarray(b)[..., None]
 
         self._activations = activations
 
@@ -90,10 +135,9 @@ class BucketPrograms:
     def warmup(self) -> None:
         """Compile every bucket program up front (first-request latency on
         a cold server would otherwise include a full XLA compile)."""
-        img_f, img_t = self.model.cfg.img_size
         for b in self.buckets:
-            x = jnp.zeros((b, img_f, img_t, 1), jnp.float32)
-            np.asarray(self._run_program(x))
+            x = np.zeros((b,) + self.elem_shape, self.elem_dtype)
+            np.asarray(self._run_program(self._prep(x)))
 
     def _run_program(self, x):
         if self._in_sharding is not None:
@@ -102,20 +146,23 @@ class BucketPrograms:
                 return self._activations(self.model.params, x)
         return self._activations(self.model.params, x)
 
-    def run(self, chunks: np.ndarray) -> np.ndarray:
-        """(n, 96, img_t) mel chunks -> (n, num_classes) sigmoid
+    def run(self, batch: np.ndarray) -> np.ndarray:
+        """(n, *elem_shape) elements -> (n, num_classes) sigmoid
         activations. n must be <= max_batch."""
-        n = chunks.shape[0]
+        batch = np.asarray(batch, self.elem_dtype)
+        n = batch.shape[0]
+        if batch.shape[1:] != self.elem_shape:
+            raise ValueError(
+                f"expected (n, {self.elem_shape}), got {batch.shape}")
         if n > self.max_batch:
             raise ValueError(f"batch {n} exceeds max bucket {self.max_batch}")
         bucket = pick_bucket(n, self.buckets)
         if bucket != n:
-            chunks = np.concatenate(
-                [chunks, np.zeros((bucket - n,) + chunks.shape[1:],
-                                  chunks.dtype)]
+            batch = np.concatenate(
+                [batch, np.zeros((bucket - n,) + batch.shape[1:],
+                                 batch.dtype)]
             )
-        x = jnp.asarray(chunks, jnp.float32)[..., None]  # NHWC
-        acts = self._run_program(x)
+        acts = self._run_program(self._prep(batch))
         return np.asarray(acts)[:n]
 
 
@@ -183,11 +230,13 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, chunks: np.ndarray) -> Future:
-        """Enqueue (n, 96, img_t) chunks; the Future resolves to the
-        (n, num_classes) activations for exactly those chunks."""
-        if chunks.ndim != 3:
-            raise ValueError(f"expected (n, f, t) chunks, got {chunks.shape}")
-        p = _Pending(np.asarray(chunks, np.float32))
+        """Enqueue (n, *elem_shape) elements; the Future resolves to the
+        (n, num_classes) activations for exactly those elements."""
+        if chunks.shape[1:] != self.programs.elem_shape:
+            raise ValueError(
+                f"expected (n, {self.programs.elem_shape}), "
+                f"got {chunks.shape}")
+        p = _Pending(np.asarray(chunks, self.programs.elem_dtype))
         with self._lock:
             if self._stop:
                 raise RuntimeError("batcher is shut down")
@@ -276,26 +325,64 @@ class TagService:
     """
 
     def __init__(self, model, buckets: Sequence[int] = DEFAULT_BUCKETS,
-                 max_wait_ms: float = 5.0, warmup: bool = False):
+                 max_wait_ms: float = 5.0, warmup: bool = False,
+                 warmup_pcm16: bool = False):
         self.model = model
         self.programs = BucketPrograms(model, buckets)
+        self.wave_programs = BucketPrograms(model, buckets, fused_wave=True)
+        self.pcm16_programs = BucketPrograms(model, buckets, fused_wave=True,
+                                             pcm16=True)
         if warmup:
+            self.wave_programs.warmup()  # the hot path first
+            if warmup_pcm16:
+                self.pcm16_programs.warmup()
             self.programs.warmup()
         self.batcher = DynamicBatcher(self.programs, max_wait_ms=max_wait_ms)
+        self.wave_batcher = DynamicBatcher(self.wave_programs,
+                                           max_wait_ms=max_wait_ms)
+        self.pcm16_batcher = DynamicBatcher(self.pcm16_programs,
+                                            max_wait_ms=max_wait_ms)
+        # all batchers feed one stats object (requests/latency are
+        # per-service; batches/fill count device dispatches of any kind)
+        self.wave_batcher.stats = self.batcher.stats
+        self.pcm16_batcher.stats = self.batcher.stats
         self.labels = model.labels
 
     def tag(self, waveform: np.ndarray, timeout: Optional[float] = 60.0):
         """16 kHz mono waveform -> (activations (C,), labels). Long tracks
-        chunk into multiple windows averaged per request."""
+        chunk into multiple windows averaged per request.
+
+        Native-length clips (exactly ``img_t * hop`` samples — e.g. 30 s
+        for the 30 s archs) take the fused fast path: mel + ViT + sigmoid
+        in one batched device program, a single host->device transfer per
+        request. An ``int16`` native-length input is treated as s16le PCM
+        and decoded ON DEVICE (``pcm / 32768``) — half the wire bytes,
+        which is the bottleneck when the device link is slow. Other
+        lengths fall back to per-request mel + chunking."""
         t0 = time.monotonic()
-        mel = np.asarray(self.model.melspectrogram(
-            np.asarray(waveform, np.float32)))
-        chunks = np.asarray(
-            self.model._chunk_melspec(jnp.asarray(mel))
-        )[:, 0]  # (n, 96, img_t)
-        acts = self.tag_mel_chunks(chunks, timeout=timeout)
+        wave = np.asarray(waveform)
+        pcm16 = wave.dtype == np.int16
+        if not pcm16:
+            wave = wave.astype(np.float32, copy=False)
+        if wave.ndim == 1 and wave.shape[0] == self.wave_programs.native_len:
+            n_chunks = 1
+            batcher = self.pcm16_batcher if pcm16 else self.wave_batcher
+            acts = batcher.submit(wave[None]).result(timeout=timeout)[0]
+        elif pcm16:
+            raise ValueError(
+                "int16 PCM input must be exactly native length "
+                f"({self.wave_programs.native_len} samples); convert to "
+                "float for arbitrary-length audio"
+            )
+        else:
+            mel = np.asarray(self.model.melspectrogram(wave))
+            chunks = np.asarray(
+                self.model._chunk_melspec(jnp.asarray(mel))
+            )[:, 0]  # (n, 96, img_t)
+            n_chunks = chunks.shape[0]
+            acts = self.tag_mel_chunks(chunks, timeout=timeout)
         self.batcher.stats.requests += 1
-        self.batcher.stats.chunks += chunks.shape[0]
+        self.batcher.stats.chunks += n_chunks
         self.batcher.stats.latency_ms.append(
             (time.monotonic() - t0) * 1e3)
         return acts, self.labels
@@ -312,3 +399,4 @@ class TagService:
 
     def close(self) -> None:
         self.batcher.close()
+        self.wave_batcher.close()

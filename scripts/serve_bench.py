@@ -50,7 +50,8 @@ def main() -> int:
     model = get_maest(arch="discogs-maest-30s-pw-129e",
                       pretrained=args.pretrained, dtype=jnp.bfloat16)
     svc = TagService(model, buckets=(1, 2, 4, 8, 16, 32),
-                     max_wait_ms=args.max_wait_ms, warmup=True)
+                     max_wait_ms=args.max_wait_ms, warmup=True,
+                     warmup_pcm16=True)
 
     rng = np.random.default_rng(0)
     waves = [rng.standard_normal(CLIP_S * SR).astype(np.float32)
@@ -103,6 +104,41 @@ def main() -> int:
         "requests": total,
         "audio_s_per_s": round(total * CLIP_S / dt, 1),
         "mean_batch_fill": round(st["mean_batch_fill"], 2),
+        "latency_ms_p50": round(st["latency_ms_p50"], 1),
+        "latency_ms_p99": round(st["latency_ms_p99"], 1),
+    }), flush=True)
+
+    # -- concurrent s16le PCM: half the wire bytes over the device link -----
+    pcm = [(np.clip(w, -1, 1) * 32767).astype(np.int16) for w in waves]
+    svc.batcher.stats.latency_ms.clear()
+    errs.clear()
+
+    def client16(ci):
+        barrier16.wait()
+        for r in range(args.requests_per_client):
+            try:
+                svc.tag(pcm[(ci + r) % len(pcm)], timeout=600)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+    barrier16 = threading.Barrier(args.clients + 1)
+    threads = [threading.Thread(target=client16, args=(i,))
+               for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    barrier16.wait()
+    t0 = time.monotonic()
+    for t in threads:
+        t.join()
+    dt = time.monotonic() - t0
+    if errs:
+        print(f"errors: {errs[:3]}", file=sys.stderr)
+        return 1
+    st = svc.stats()
+    print(json.dumps({
+        "phase": "concurrent_pcm16", "clients": args.clients,
+        "requests": total,
+        "audio_s_per_s": round(total * CLIP_S / dt, 1),
         "latency_ms_p50": round(st["latency_ms_p50"], 1),
         "latency_ms_p99": round(st["latency_ms_p99"], 1),
     }), flush=True)

@@ -125,6 +125,66 @@ def test_oversized_request_splits(model):
         svc.close()
 
 
+def test_fused_wave_path_matches_predict_labels(model):
+    """Native-length clips take the one-dispatch fused mel+ViT program;
+    results must equal the chunked predict_labels math exactly."""
+    svc = TagService(model, buckets=(1, 2, 4), max_wait_ms=0.0)
+    try:
+        n_native = svc.wave_programs.native_len
+        assert n_native == 62 * 256
+        wave = _wave(n_native / SR)
+        assert wave.shape[0] == n_native
+        acts, _ = svc.tag(wave)
+        ref_acts, _ = model.predict_labels(wave)
+        np.testing.assert_allclose(acts, ref_acts, rtol=1e-5, atol=1e-6)
+        # the request must have gone through the wave batcher (one chunk,
+        # no separate mel dispatch): chunk-batcher queue was never used
+        assert svc.stats()["requests"] == 1
+
+        # concurrent native-length requests co-batch on the fused program
+        waves = [_wave(n_native / SR, seed=i) for i in range(6)]
+        refs = [model.predict_labels(w)[0] for w in waves]
+        svc.batcher.stats.batches = 0
+        svc2 = TagService(model, buckets=(1, 2, 4, 8), max_wait_ms=50.0)
+        try:
+            outs = [None] * 6
+
+            def worker(i):
+                outs[i], _ = svc2.tag(waves[i])
+
+            threads = [threading.Thread(target=worker, args=(i,))
+                       for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+            for got, ref in zip(outs, refs):
+                np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+            st = svc2.stats()
+            assert st["batches"] < 6 and st["mean_batch_fill"] > 1.0
+        finally:
+            svc2.close()
+    finally:
+        svc.close()
+
+
+def test_pcm16_path_matches_float(model):
+    """int16 native-length input decodes on-device as pcm/32768 and must
+    match the float path on the equivalent waveform."""
+    svc = TagService(model, buckets=(1, 2), max_wait_ms=0.0)
+    try:
+        n_native = svc.wave_programs.native_len
+        pcm = (np.clip(_wave(n_native / SR), -1, 1) * 32767).astype(np.int16)
+        acts16, _ = svc.tag(pcm)
+        acts_f, _ = svc.tag(pcm.astype(np.float32) / 32768.0)
+        np.testing.assert_allclose(acts16, acts_f, rtol=1e-5, atol=1e-6)
+        # non-native-length int16 is rejected with a clear error
+        with pytest.raises(ValueError, match="native length"):
+            svc.tag(pcm[:100])
+    finally:
+        svc.close()
+
+
 def test_mesh_serving_matches_single_device(model):
     """TagService over a (data=4, model=2) mesh: buckets round up to the
     data-axis size and served results match the single-device service."""
