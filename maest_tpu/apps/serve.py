@@ -6,10 +6,12 @@ call, reference: models/maest.py:935-939); this stdlib-only front-end puts
 cross-request batching — behind three endpoints:
 
     POST /tag      raw little-endian float32 16 kHz mono PCM
-                   (Content-Type: application/octet-stream), s16le PCM
-                   (Content-Type: audio/l16 — half the wire bytes,
-                   decoded on-device; native-length clips only), or JSON
-                   {"waveform": [...]} -> {"labels": [[name, score]...]}
+                   (Content-Type: application/octet-stream); 16-bit PCM —
+                   half the wire bytes, decoded on-device, native-length
+                   clips only — as Content-Type: audio/l16 (BIG-endian
+                   per RFC 2586/3555) or audio/pcm (little-endian s16le);
+                   or JSON {"waveform": [...]}
+                   -> {"labels": [[name, score]...]}
     GET  /healthz  liveness probe
     GET  /stats    batching / latency counters (JSON)
 
@@ -116,9 +118,12 @@ def make_handler(service, top_k: int):
                     wave = np.asarray(
                         json.loads(raw)["waveform"], np.float32)
                 elif ct.startswith("audio/l16"):
-                    # s16le PCM: half the wire bytes of float32, decoded
-                    # on-device (native-length clips only)
-                    wave = np.frombuffer(raw, np.int16)
+                    # registered audio/L16 is BIG-endian (RFC 2586/3555)
+                    wave = np.frombuffer(raw, ">i2").astype(np.int16)
+                elif ct.startswith("audio/pcm"):
+                    # custom little-endian s16 PCM: half the wire bytes
+                    # of float32, decoded on-device (native-length only)
+                    wave = np.frombuffer(raw, "<i2").astype(np.int16)
                 else:
                     wave = np.frombuffer(raw, np.float32)
                 if wave.size == 0:
@@ -148,7 +153,10 @@ def serve_forever(service, host: str, port: int, top_k: int):
 
 
 def main(argv=None) -> int:
+    from ..utils.cache import enable_compilation_cache
+
     args = build_argparser().parse_args(argv)
+    enable_compilation_cache()  # warmup compiles many bucket programs
     service = make_service(args)
     server, thread = serve_forever(service, args.host, args.port, args.top_k)
     print(f"maest-serve: listening on http://{args.host}:{server.server_port}"

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
@@ -168,26 +169,51 @@ class BucketPrograms:
 
 @dataclass
 class ServeStats:
-    """Running counters, exported by the /stats endpoint."""
+    """Running counters, exported by the /stats endpoint.
+
+    Mutations come from many threads (HTTP handler threads bump
+    requests/latency, each batcher's dispatcher bumps batches), so all
+    updates go through the locked helpers; ``latency_ms`` is a bounded
+    deque — a long-running server must not grow per-request state."""
 
     requests: int = 0
     chunks: int = 0
     batches: int = 0
     batched_chunks: int = 0
-    latency_ms: list = field(default_factory=list)
+    latency_ms: "deque" = field(
+        default_factory=lambda: deque(maxlen=2048))
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  repr=False)
+
+    def bump(self, *, requests: int = 0, chunks: int = 0, batches: int = 0,
+             batched_chunks: int = 0, latency_ms: Optional[float] = None):
+        with self._lock:
+            self.requests += requests
+            self.chunks += chunks
+            self.batches += batches
+            self.batched_chunks += batched_chunks
+            if latency_ms is not None:
+                self.latency_ms.append(latency_ms)
+
+    def reset_window(self):
+        """Clear the latency window (benchmarks phase boundaries)."""
+        with self._lock:
+            self.latency_ms.clear()
 
     def snapshot(self) -> dict:
-        lat = sorted(self.latency_ms[-1024:])
+        with self._lock:
+            lat = sorted(self.latency_ms)
+            requests, chunks = self.requests, self.chunks
+            batches, batched = self.batches, self.batched_chunks
 
         def pct(p):
             return lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
 
         return {
-            "requests": self.requests,
-            "chunks": self.chunks,
-            "batches": self.batches,
-            "mean_batch_fill": (self.batched_chunks / self.batches
-                                if self.batches else 0.0),
+            "requests": requests,
+            "chunks": chunks,
+            "batches": batches,
+            "mean_batch_fill": batched / batches if batches else 0.0,
             "latency_ms_p50": pct(0.50),
             "latency_ms_p99": pct(0.99),
         }
@@ -237,6 +263,12 @@ class DynamicBatcher:
                 f"expected (n, {self.programs.elem_shape}), "
                 f"got {chunks.shape}")
         p = _Pending(np.asarray(chunks, self.programs.elem_dtype))
+        if chunks.shape[0] == 0:
+            # resolve empty submissions here — the dispatcher keys on
+            # chunk counts and would otherwise strand a 0-row request
+            p.future.set_result(np.zeros(
+                (0, self.programs.model.cfg.num_classes), np.float32))
+            return p.future
         with self._lock:
             if self._stop:
                 raise RuntimeError("batcher is shut down")
@@ -262,8 +294,12 @@ class DynamicBatcher:
                 if self._stop and not self._queue:
                     return
                 have = sum(p.chunks.shape[0] for p in self._queue)
+                if not have:
+                    # clear UNDER the lock: a submit() racing between an
+                    # unlocked check and clear() would be lost and its
+                    # request stranded until unrelated traffic arrives
+                    self._event.clear()
             if not have:
-                self._event.clear()
                 continue
             # linger briefly for co-batching unless a full batch is ready
             if have < max_batch and self.max_wait_ms > 0:
@@ -305,8 +341,7 @@ class DynamicBatcher:
                 if not p.future.done():
                     p.future.set_exception(e)
             return
-        self.stats.batches += 1
-        self.stats.batched_chunks += batch.shape[0]
+        self.stats.bump(batches=1, batched_chunks=batch.shape[0])
         off = 0
         for p, _s, c in take:
             p.parts.append(acts[off:off + c])
@@ -381,10 +416,10 @@ class TagService:
             )[:, 0]  # (n, 96, img_t)
             n_chunks = chunks.shape[0]
             acts = self.tag_mel_chunks(chunks, timeout=timeout)
-        self.batcher.stats.requests += 1
-        self.batcher.stats.chunks += n_chunks
-        self.batcher.stats.latency_ms.append(
-            (time.monotonic() - t0) * 1e3)
+        self.batcher.stats.bump(
+            requests=1, chunks=n_chunks,
+            latency_ms=(time.monotonic() - t0) * 1e3,
+        )
         return acts, self.labels
 
     def tag_mel_chunks(self, chunks: np.ndarray,
@@ -394,9 +429,13 @@ class TagService:
         acts = self.batcher.submit(chunks).result(timeout=timeout)
         return acts.mean(axis=0)
 
+    def stats_reset_window(self) -> None:
+        self.batcher.stats.reset_window()
+
     def stats(self) -> dict:
         return self.batcher.stats.snapshot()
 
     def close(self) -> None:
         self.batcher.close()
         self.wave_batcher.close()
+        self.pcm16_batcher.close()

@@ -300,30 +300,18 @@ class Trainer:
             import orbax.checkpoint as ocp
 
             self._ckptr = ocp.StandardCheckpointer()
-            self._pending_meta = []
         return self._ckptr
 
-    def _flush_meta(self):
-        for tag, epoch in getattr(self, "_pending_meta", []) or []:
-            (self.run_dir / "checkpoints" / f"{tag}.meta.json").write_text(
-                json.dumps({"epoch": epoch})
-            )
-        self._pending_meta = []
-
     def finalize_checkpoints(self):
-        """Block until every async save has committed, then write the
-        meta markers (resilience keys 'checkpoint usable' on the marker,
-        so it must appear only after the orbax commit)."""
+        """Block until every async save has committed."""
         if getattr(self, "_ckptr", None) is not None:
             self._ckptr.wait_until_finished()
-            self._flush_meta()
 
     def save_checkpoint(self, tag: str):
         path = (self.run_dir / "checkpoints" / tag).absolute()
         ckptr = self._checkpointer()
         # one save in flight at a time: commit the previous one first
         ckptr.wait_until_finished()
-        self._flush_meta()
         ckptr.save(path, dict(
             params=self.state.params,
             opt_state=self.state.opt_state,
@@ -331,7 +319,16 @@ class Trainer:
             swa_n=self.state.swa_n,
             step=self.state.step,
         ), force=True)
-        self._pending_meta.append((tag, self.epoch))
+        # the meta marker can be written before the async commit finishes:
+        # orbax materialises the checkpoint under
+        # <tag>.orbax-checkpoint-tmp and atomically renames it to <tag> on
+        # commit, so latest_checkpoint (which requires BOTH the clean
+        # directory name and the marker) never sees a half-written save —
+        # and a fully committed save is usable immediately even if the
+        # process is later SIGKILLed before any finalize runs
+        (self.run_dir / "checkpoints" / f"{tag}.meta.json").write_text(
+            json.dumps({"epoch": self.epoch})
+        )
 
     def restore_checkpoint(self, path: str):
         import orbax.checkpoint as ocp

@@ -155,8 +155,9 @@ def fit_with_recovery(
             # attempt's checkpoint (already in cfg["ckpt_path"])
             if trainer is not None:
                 try:
-                    # async saves: surface any committed-but-unmarked
-                    # checkpoint before scanning for the newest one
+                    # async saves: let any in-flight orbax commit land
+                    # (atomic tmp-dir rename) before scanning for the
+                    # newest checkpoint
                     trainer.finalize_checkpoints()
                 except Exception:  # the device may be gone entirely
                     pass

@@ -74,6 +74,7 @@ def main() -> int:
     # -- concurrent load: clients share device batches -----------------------
     svc.batcher.stats.batches = 0
     svc.batcher.stats.batched_chunks = 0
+    svc.batcher.stats.reset_window()  # drop sequential-phase latencies
     total = args.clients * args.requests_per_client
     errs = []
     barrier = threading.Barrier(args.clients + 1)
@@ -110,7 +111,7 @@ def main() -> int:
 
     # -- concurrent s16le PCM: half the wire bytes over the device link -----
     pcm = [(np.clip(w, -1, 1) * 32767).astype(np.int16) for w in waves]
-    svc.batcher.stats.latency_ms.clear()
+    svc.batcher.stats.reset_window()
     errs.clear()
 
     def client16(ci):

@@ -168,6 +168,18 @@ def test_fused_wave_path_matches_predict_labels(model):
         svc.close()
 
 
+def test_empty_submission_resolves_immediately(model):
+    """A 0-row submit must not strand its Future (the dispatcher keys on
+    chunk counts)."""
+    svc = TagService(model, buckets=(1, 2), max_wait_ms=0.0)
+    try:
+        out = svc.batcher.submit(
+            np.empty((0, 96, 62), np.float32)).result(timeout=5)
+        assert out.shape == (0, 16)
+    finally:
+        svc.close()
+
+
 def test_pcm16_path_matches_float(model):
     """int16 native-length input decodes on-device as pcm/32768 and must
     match the float path on the equivalent waveform."""
@@ -255,6 +267,27 @@ def test_http_roundtrip(model):
         )
         with urllib.request.urlopen(req, timeout=120) as r:
             assert len(json.loads(r.read())["labels"]) == 5
+
+        # 16-bit PCM: audio/l16 is BIG-endian (RFC 2586), audio/pcm is
+        # s16le; both must agree with the in-process int16 path
+        n_native = svc.wave_programs.native_len
+        pcm = (np.clip(_wave(n_native / SR, seed=3), -1, 1)
+               * 32767).astype(np.int16)
+        ref16, _ = svc.tag(pcm)
+        for ct, payload in (
+            ("audio/l16", pcm.astype(">i2").tobytes()),
+            ("audio/pcm", pcm.astype("<i2").tobytes()),
+        ):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/tag", data=payload,
+                headers={"Content-Type": ct},
+            )
+            with urllib.request.urlopen(req, timeout=120) as r:
+                res16 = json.loads(r.read())
+            top_i = int(np.argmax(ref16))
+            assert res16["labels"][0][0] == str(top_i), ct
+            np.testing.assert_allclose(
+                res16["labels"][0][1], float(ref16[top_i]), rtol=1e-4)
         with pytest.raises(urllib.error.HTTPError):
             urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/nope", timeout=30)
