@@ -38,6 +38,7 @@ def default_config() -> dict:
             "fsdp": False,  # ZeRO-3: shard params+opt state over the data axis
             "pipeline_parallel": 0,  # >1: GPipe stages over a 'pipe' mesh axis
             "num_microbatches": 4,  # GPipe microbatches per step
+            "accumulate_grad_batches": 1,  # optax.MultiSteps grad accumulation
             "resilient": False,  # restart from ckpt on infra failures
             "max_restarts": 3,
         },

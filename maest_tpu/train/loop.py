@@ -161,8 +161,13 @@ class Trainer:
         self.steps_per_epoch = max(1, epoch_len // self.global_batch)
         if tr["limit_train_batches"]:
             self.steps_per_epoch = min(self.steps_per_epoch, tr["limit_train_batches"])
+        accum = int(tr.get("accumulate_grad_batches") or 1)
+        # the LR schedule advances per OPTIMIZER step (MultiSteps shows the
+        # inner optimizer only completed steps), so keep the epoch-indexed
+        # ramp semantics by scaling steps-per-epoch down by the factor
         schedule = make_schedule(
-            opt["schedule_mode"], opt["lr"], self.steps_per_epoch,
+            opt["schedule_mode"], opt["lr"],
+            max(1, self.steps_per_epoch // accum),
             warm_up_len=opt["warm_up_len"],
             ramp_down_start=opt["ramp_down_start"],
             ramp_down_len=opt["ramp_down_len"],
@@ -171,6 +176,7 @@ class Trainer:
         self.tx = make_optimizer(
             lr_schedule=schedule, adamw=opt["adamw"],
             weight_decay=opt["weight_decay"],
+            accumulate_steps=accum,
         )
 
         with self.mesh:

@@ -57,12 +57,21 @@ def make_optimizer(
     lr_schedule,
     adamw: bool = True,
     weight_decay: float = 1e-4,
+    accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW / Adam matching the reference (reference: models/module.py:237-243).
 
     Note the reference applies torch AdamW decay to *all* params including
     norms and pos-embeds (no param groups), so we do the same for parity.
+
+    ``accumulate_steps > 1`` wraps the optimizer in ``optax.MultiSteps``
+    (Lightning's ``accumulate_grad_batches``, which the reference never
+    sets): gradients of k consecutive micro-batches are averaged on-device
+    and one optimizer step is applied every k-th train step — the large
+    effective batch of the paper recipe without the activation memory.
     """
-    if adamw:
-        return optax.adamw(lr_schedule, weight_decay=weight_decay)
-    return optax.adam(lr_schedule)
+    tx = (optax.adamw(lr_schedule, weight_decay=weight_decay) if adamw
+          else optax.adam(lr_schedule))
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx

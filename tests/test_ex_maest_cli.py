@@ -102,6 +102,16 @@ def test_train_and_resume(corpus, tmp_path):
     assert res == {"done": True}
 
 
+def test_train_with_grad_accumulation(corpus, tmp_path):
+    """trainer.accumulate_grad_batches=2 trains end-to-end (optax
+    MultiSteps wrapping, schedule scaled to optimizer steps)."""
+    res = run(["main", "with"] + _overrides(corpus, tmp_path, [
+        "trainer.accumulate_grad_batches=2",
+        "trainer.max_epochs=1",
+    ]))
+    assert res == {"done": True}
+
+
 def test_train_pipeline_parallel(corpus, tmp_path):
     """trainer.pipeline_parallel=2 trains end-to-end on a (data=2, pipe=2)
     mesh: GPipe train step + m=1 pipelined eval, checkpoints written."""
