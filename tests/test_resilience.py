@@ -54,6 +54,12 @@ def test_latest_checkpoint_picks_newest_epoch(tmp_path):
     # an interrupted save (no meta) must be skipped
     (ckpts / "epoch-3").mkdir()
     assert latest_checkpoint(tmp_path).endswith("epoch-2")
+    # an in-flight async save: orbax materialises under a tmp name and
+    # renames atomically on commit — the tmp dir must never be picked
+    # even though its meta marker (written at save time) already exists
+    (ckpts / "epoch-4.orbax-checkpoint-tmp").mkdir()
+    (ckpts / "epoch-4.meta.json").write_text('{"epoch": 4}')
+    assert latest_checkpoint(tmp_path).endswith("epoch-2")
 
 
 @pytest.fixture(scope="module")
