@@ -168,6 +168,54 @@ def test_fused_wave_path_matches_predict_labels(model):
         svc.close()
 
 
+def test_batcher_stress_random_sizes(model):
+    """Randomized stress: many threads, request sizes from 0 to beyond the
+    max bucket, random pauses — every Future must resolve with exactly its
+    own rows (values checked against a direct program run)."""
+    import time as _time
+
+    from maest_tpu.serve import BucketPrograms, DynamicBatcher
+
+    progs = BucketPrograms(model, buckets=(1, 2, 4))
+    batcher = DynamicBatcher(progs, max_wait_ms=2.0)
+    rng = np.random.default_rng(11)
+    reqs = [rng.standard_normal(
+        (int(n), 96, 62)).astype(np.float32)
+        for n in rng.integers(0, 7, size=24)]
+    def direct(r):
+        if not r.shape[0]:
+            return None
+        return np.concatenate([progs.run(r[i:i + 4])
+                               for i in range(0, r.shape[0], 4)])
+
+    expect = [direct(r) for r in reqs]
+    outs = [None] * len(reqs)
+    errs = []
+    pauses = rng.integers(0, 5, size=len(reqs))  # Generator isn't thread-safe
+
+    def worker(i):
+        try:
+            _time.sleep(float(pauses[i]) / 1e3)
+            outs[i] = batcher.submit(reqs[i]).result(timeout=60)
+        except Exception as e:
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    batcher.close()
+    assert not errs, errs[:3]
+    for i, (got, ref) in enumerate(zip(outs, expect)):
+        if reqs[i].shape[0] == 0:
+            assert got.shape == (0, 16)
+        else:
+            np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                                       err_msg=f"request {i}")
+
+
 def test_empty_submission_resolves_immediately(model):
     """A 0-row submit must not strand its Future (the dispatcher keys on
     chunk counts)."""
