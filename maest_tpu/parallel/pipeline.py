@@ -11,6 +11,15 @@ GPipe backward for free — the transpose of ``ppermute`` is the reverse
 permute, the transpose of the replicated-in parameters is the psum that
 implements data-parallel gradient sync over the ``data`` axis.
 
+With ``model_parallel > 1`` the mesh grows a third ``model`` axis and each
+stage additionally runs Megatron tensor parallelism (3-D dp x pp x tp):
+qkv / fc1 kernels are column-split (attention heads / MLP hidden units per
+device), proj / fc2 kernels are row-split, and one ``psum`` over ``model``
+per matmul pair restores the full activations — the manual-shard_map twin
+of ``parallel.mesh.param_spec``'s GSPMD layout. Inside the region each
+shard is a single device, so the block math is written out explicitly
+(``_make_tp_block``) mirroring ``models.vit.Block`` term by term.
+
 Design notes:
   * The schedule is the classic GPipe loop: ``T = M + S - 1`` steps; at
     step ``t`` stage 0 injects microbatch ``min(t, M-1)`` while every other
@@ -48,10 +57,13 @@ from ..models.vit import Block, block_kwargs
 
 
 def make_pipeline_mesh(n_devices: Optional[int] = None,
-                       num_stages: int = 2) -> Mesh:
-    """Build a (data, pipe) mesh: batch parallelism over ``data``, pipeline
-    stages over ``pipe``. Put ``pipe`` innermost so stage-to-stage
-    ppermutes ride neighbouring ICI links."""
+                       num_stages: int = 2,
+                       model_parallel: int = 1) -> Mesh:
+    """Build a (data, pipe, model) mesh: batch parallelism over ``data``,
+    pipeline stages over ``pipe``, optional Megatron tensor parallelism
+    over ``model`` within each stage (3-D dp x pp x tp). ``model`` is
+    innermost so the per-layer TP all-reduces ride neighbouring ICI
+    links; ``pipe`` next so stage-to-stage ppermutes stay one hop."""
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
@@ -59,14 +71,15 @@ def make_pipeline_mesh(n_devices: Optional[int] = None,
         raise ValueError(
             f"requested {n_devices} devices but only {len(devices)} visible"
         )
-    if n_devices % num_stages:
+    if n_devices % (num_stages * model_parallel):
         raise ValueError(
-            f"{n_devices} devices not divisible by num_stages={num_stages}"
+            f"{n_devices} devices not divisible by num_stages x "
+            f"model_parallel = {num_stages} x {model_parallel}"
         )
     grid = np.array(devices[:n_devices]).reshape(
-        n_devices // num_stages, num_stages
+        n_devices // (num_stages * model_parallel), num_stages, model_parallel
     )
-    return Mesh(grid, axis_names=("data", "pipe"))
+    return Mesh(grid, axis_names=("data", "pipe", "model"))
 
 
 def stack_block_params(params, depth: int):
@@ -75,6 +88,153 @@ def stack_block_params(params, depth: int):
     ``(depth, ...)`` axis for sharding over the ``pipe`` axis."""
     blocks = [params[f"blocks_{i}"] for i in range(depth)]
     return jax.tree.map(lambda *leaves: jnp.stack(leaves), *blocks)
+
+
+def _tp_layout(stacked, cfg: MAESTConfig):
+    """Reshape the stacked block params for head-sharded Megatron TP and
+    return matching shard_map PartitionSpecs.
+
+    The qkv kernel's output axis is ordered (3, heads, head_dim) (see
+    models.vit.Attention's reshape), so splitting heads over ``model`` is
+    NOT a contiguous slice of the last dim — expose the (3, H, d) structure
+    as real axes first, then shard the head axis. proj's input axis gets
+    the same treatment. fc1/fc2 split cleanly on the hidden dim.
+    """
+    import flax
+
+    e, h = cfg.embed_dim, cfg.num_heads
+    hd = e // h
+    flat = flax.traverse_util.flatten_dict(stacked)
+    out, specs = {}, {}
+    for path, leaf in flat.items():
+        name = "/".join(str(k) for k in path)
+        d = leaf.shape[0]
+        if name == "attn/qkv/kernel":
+            leaf = leaf.reshape(d, e, 3, h, hd)
+            spec = P("pipe", None, None, "model", None)
+        elif name == "attn/qkv/bias":
+            leaf = leaf.reshape(d, 3, h, hd)
+            spec = P("pipe", None, "model", None)
+        elif name == "attn/proj/kernel":
+            leaf = leaf.reshape(d, h, hd, e)
+            spec = P("pipe", "model", None, None)
+        elif name == "mlp/fc1/kernel":
+            spec = P("pipe", None, "model")
+        elif name == "mlp/fc1/bias":
+            spec = P("pipe", "model")
+        elif name == "mlp/fc2/kernel":
+            spec = P("pipe", "model", None)
+        else:
+            # norms, proj/fc2 biases: replicated over model (fc2/proj bias
+            # is added once, after the psum)
+            spec = P("pipe")
+        out[path] = leaf
+        specs[path] = spec
+    return (flax.traverse_util.unflatten_dict(out),
+            flax.traverse_util.unflatten_dict(specs))
+
+
+def _make_tp_block(cfg: MAESTConfig, dtype, n_real: Optional[int]):
+    """Manual Megatron-TP transformer block for the 3-axis shard_map region.
+
+    Mirrors ``models.vit.Block`` term by term (reference math:
+    models/maest.py:346-420) on head/hidden-sharded params: the attention
+    runs on the device's local heads, the MLP on its local hidden slice,
+    and one ``psum`` over ``model`` after each row-parallel matmul (proj,
+    fc2) restores the full activation before the replicated bias is added.
+    The residual stream stays replicated over ``model`` throughout, so the
+    result is numerically the sequential block up to fp32 partial-sum
+    reassociation.
+    """
+    from ..models.vit import _layer_norm, _tier_precision
+    from ..ops.attention import flash_attention, use_flash
+
+    prec = _tier_precision(dtype)
+    head_dim = cfg.embed_dim // cfg.num_heads
+    scale = head_dim**-0.5
+    gelu_mode = cfg.gelu_approx
+    if gelu_mode == "auto":
+        gelu_mode = "tanh" if dtype == jnp.bfloat16 else "exact"
+    import flax.linen as nn
+
+    ln = _layer_norm(epsilon=cfg.layer_norm_eps, dtype=dtype, name=None)
+
+    def dropout(x, rate, key, deterministic):
+        # nn.Dropout semantics: full-shape bernoulli mask, 1/keep scaling
+        if deterministic or rate == 0.0:
+            return x
+        keep = 1.0 - rate
+        mask = jax.random.bernoulli(key, keep, x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+    def apply(p, h, key, deterministic):
+        n = h.shape[1]
+        nr = n if n_real is None else n_real
+        # keys acting on model-SHARDED values (attention matrix, MLP
+        # hidden) fold in the device's model index so shards draw
+        # independent masks; keys acting on the post-psum REPLICATED
+        # values must stay identical across model devices or the
+        # residual stream would diverge.
+        local_key = None
+        if not deterministic and (cfg.drop_rate > 0.0
+                                  or cfg.attn_drop_rate > 0.0):
+            local_key = jax.random.fold_in(key, jax.lax.axis_index("model"))
+
+        y = ln.apply({"params": p["norm1"]}, h)
+        wq = p["attn"]["qkv"]["kernel"].astype(dtype)  # (E, 3, Hloc, d)
+        qkv = jnp.einsum("bne,eshd->bnshd", y, wq, precision=prec)
+        if "bias" in p["attn"]["qkv"]:
+            qkv = qkv + p["attn"]["qkv"]["bias"].astype(dtype)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, hloc, d)
+
+        needs_drop = cfg.attn_drop_rate > 0.0 and not deterministic
+        impl = cfg.attention_impl
+        if impl == "auto":
+            impl = ("flash" if use_flash(n, head_dim) and not needs_drop
+                    else "xla")
+        if impl == "flash":
+            out = flash_attention(q, k, v, n_real=nr)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+            attn = attn * scale
+            if nr < n:
+                pos = jnp.arange(n)
+                attn = jnp.where(pos[None, None, None, :] < nr, attn, -1e30)
+            attn = jax.nn.softmax(attn, axis=-1)
+            if needs_drop:
+                attn = dropout(attn, cfg.attn_drop_rate,
+                               jax.random.fold_in(local_key, 0),
+                               deterministic)
+            attn = attn.astype(dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v, precision=prec)
+
+        o = jnp.einsum("bnhd,hde->bne", out,
+                       p["attn"]["proj"]["kernel"].astype(dtype),
+                       precision=prec)
+        o = jax.lax.psum(o, "model") + p["attn"]["proj"]["bias"].astype(dtype)
+        o = dropout(o, cfg.drop_rate, jax.random.fold_in(key, 1),
+                    deterministic)
+        h = h + o
+
+        y = ln.apply({"params": p["norm2"]}, h)
+        a = jnp.einsum("bne,ef->bnf", y,
+                       p["mlp"]["fc1"]["kernel"].astype(dtype),
+                       precision=prec) + p["mlp"]["fc1"]["bias"].astype(dtype)
+        a = nn.gelu(a, approximate=gelu_mode == "tanh")
+        if cfg.drop_rate > 0.0 and not deterministic:
+            a = dropout(a, cfg.drop_rate, jax.random.fold_in(local_key, 2),
+                        deterministic)
+        o = jnp.einsum("bnf,fe->bne", a,
+                       p["mlp"]["fc2"]["kernel"].astype(dtype),
+                       precision=prec)
+        o = jax.lax.psum(o, "model") + p["mlp"]["fc2"]["bias"].astype(dtype)
+        o = dropout(o, cfg.drop_rate, jax.random.fold_in(key, 3),
+                    deterministic)
+        return h + o
+
+    return apply
 
 
 def _trunk_block(cfg: MAESTConfig, dtype, n_real: Optional[int]) -> Block:
@@ -106,6 +266,7 @@ def pipeline_trunk(
     stream, replicated over ``pipe``.
     """
     n_stages = mesh.shape["pipe"]
+    tp = dict(mesh.shape).get("model", 1)
     depth = cfg.depth
     if depth % n_stages:
         raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
@@ -123,7 +284,6 @@ def pipeline_trunk(
             f"batch {b} not divisible by data shards x microbatches "
             f"= {d_shards} x {m}"
         )
-    block = _trunk_block(cfg, dtype, n_real)
     needs_dropout = train and (cfg.drop_rate > 0.0 or cfg.attn_drop_rate > 0.0)
     if needs_dropout and dropout_key is None:
         raise ValueError(
@@ -132,9 +292,25 @@ def pipeline_trunk(
     if dropout_key is None:
         dropout_key = jax.random.PRNGKey(0)  # unused
 
-    def apply_block(p, h, key, deterministic):
-        rngs = {"dropout": key} if needs_dropout else None
-        return block.apply({"params": p}, h, deterministic, rngs=rngs)
+    if tp > 1:
+        if cfg.num_heads % tp:
+            raise ValueError(
+                f"num_heads {cfg.num_heads} not divisible by model={tp}"
+            )
+        if int(cfg.embed_dim * cfg.mlp_ratio) % tp:
+            raise ValueError(
+                f"MLP hidden dim {int(cfg.embed_dim * cfg.mlp_ratio)} "
+                f"not divisible by model={tp}"
+            )
+        stacked_params, spec_params = _tp_layout(stacked_params, cfg)
+        apply_block = _make_tp_block(cfg, dtype, n_real)
+    else:
+        block = _trunk_block(cfg, dtype, n_real)
+        spec_params = jax.tree.map(lambda _: P("pipe"), stacked_params)
+
+        def apply_block(p, h, key, deterministic):
+            rngs = {"dropout": key} if needs_dropout else None
+            return block.apply({"params": p}, h, deterministic, rngs=rngs)
 
     if cfg.remat and train:
         apply_block = jax.checkpoint(apply_block, static_argnums=(3,))
@@ -177,7 +353,6 @@ def pipeline_trunk(
         out = jax.lax.psum(out, "pipe")  # broadcast result to every stage
         return out.reshape(-1, *out.shape[2:])
 
-    spec_params = jax.tree.map(lambda _: P("pipe"), stacked_params)
     fn = jax.shard_map(
         stage_program,
         mesh=mesh,

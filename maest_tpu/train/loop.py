@@ -120,10 +120,11 @@ class Trainer:
         self.pipeline_parallel = pp if pp > 1 else 0
         self.num_microbatches = int(tr.get("num_microbatches") or 4)
         if self.pipeline_parallel:
-            if tr.get("model_parallel", 1) > 1 or tr.get("sequence_parallel"):
+            if tr.get("sequence_parallel"):
                 raise ValueError(
-                    "pipeline_parallel does not compose with model_parallel/"
-                    "sequence_parallel (pick one trunk-sharding strategy)"
+                    "pipeline_parallel does not compose with "
+                    "sequence_parallel (SP token-shards the residual stream "
+                    "between blocks; the pipeline owns that seam)"
                 )
             if tr.get("fsdp"):
                 raise ValueError(
@@ -132,7 +133,12 @@ class Trainer:
                 )
             from ..parallel.pipeline import make_pipeline_mesh
 
-            self.mesh = make_pipeline_mesh(tr["devices"], num_stages=pp)
+            # model_parallel > 1 composes: Megatron TP inside each pipeline
+            # stage over a third 'model' mesh axis (dp x pp x tp)
+            self.mesh = make_pipeline_mesh(
+                tr["devices"], num_stages=pp,
+                model_parallel=tr.get("model_parallel", 1) or 1,
+            )
         else:
             self.mesh = make_mesh(tr["devices"], tr.get("model_parallel", 1))
         self.n_data = self.mesh.shape["data"]

@@ -126,12 +126,26 @@ def test_train_pipeline_parallel(corpus, tmp_path):
     assert (runs[-1] / "checkpoints" / "best").exists()
 
 
+def test_train_pipeline_tensor_parallel(corpus, tmp_path):
+    """trainer.pipeline_parallel=2 + model_parallel=2 trains end-to-end on
+    a 3-D (data=2, pipe=2, model=2) mesh: Megatron TP inside each GPipe
+    stage."""
+    res = run(["main", "with"] + _overrides(corpus, tmp_path, [
+        "trainer.devices=8",
+        "trainer.pipeline_parallel=2",
+        "trainer.model_parallel=2",
+        "trainer.num_microbatches=2",
+        "trainer.max_epochs=1",
+    ]))
+    assert res == {"done": True}
+
+
 def test_pipeline_parallel_guards(corpus, tmp_path):
-    """PP rejects composing with TP and rejects the extraction command."""
+    """PP rejects composing with SP and rejects the extraction command."""
     with pytest.raises(ValueError, match="pipeline_parallel does not"):
         run(["main", "with"] + _overrides(corpus, tmp_path, [
             "trainer.devices=4", "trainer.pipeline_parallel=2",
-            "trainer.model_parallel=2",
+            "trainer.sequence_parallel=True",
         ]))
     with pytest.raises(NotImplementedError, match="extraction"):
         run(["extract_embeddings", "with"] + _overrides(corpus, tmp_path, [

@@ -70,6 +70,101 @@ def test_pipeline_forward_matches_sequential(stages, microbatches):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("stages,tp,microbatches", [(2, 2, 2), (2, 4, 1),
+                                                    (4, 2, 1)])
+def test_pipeline_tp_forward_matches_sequential(stages, tp, microbatches):
+    """3-D dp x pp x tp: Megatron TP inside each pipeline stage must
+    reproduce the sequential forward (up to fp32 partial-sum
+    reassociation from the head/hidden-split matmuls)."""
+    cfg = _cfg()
+    net = MAESTNet(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((8, 26, 46, 1)), jnp.float32
+    )
+    ref_logits, ref_feats = net.apply({"params": params}, x, train=False)
+
+    mesh = make_pipeline_mesh(8, num_stages=stages, model_parallel=tp)
+    fwd = make_pipeline_forward(net, mesh, num_microbatches=microbatches)
+    pp_logits, pp_feats = fwd(params, x)
+
+    np.testing.assert_allclose(np.asarray(pp_logits), np.asarray(ref_logits),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pp_feats), np.asarray(ref_feats),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_tp_train_step_matches_dp():
+    """One dp x pp x tp train step must match the plain DP step: same loss
+    and the same updated params (tolerances admit fp32 reassociation of
+    the TP partial sums through AdamW)."""
+    cfg = _cfg(s_patchout_t=1)
+    net = MAESTNet(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(lr_schedule=1e-4, adamw=True, weight_decay=1e-4)
+    aug = AugmentConfig(time_masks=4, freq_masks=2)
+    batch = _batch()
+
+    mesh_dp = make_mesh(8, model_parallel=1)
+    step_dp = make_train_step(net, tx, aug, donate=False)
+    with mesh_dp:
+        st = TrainState.create(params, tx)
+        b = {k: jax.device_put(v, NamedSharding(mesh_dp, P("data")))
+             for k, v in batch.items()}
+        st_dp, m_dp = step_dp(st, b, jax.random.PRNGKey(42))
+
+    mesh_3d = make_pipeline_mesh(8, num_stages=2, model_parallel=2)
+    step_3d = make_pipeline_train_step(
+        net, tx, aug, mesh=mesh_3d, num_microbatches=2, donate=False
+    )
+    with mesh_3d:
+        st = TrainState.create(params, tx)
+        b = {k: jax.device_put(v, NamedSharding(mesh_3d, P("data")))
+             for k, v in batch.items()}
+        st_3d, m_3d = step_3d(st, b, jax.random.PRNGKey(42))
+
+    assert abs(float(m_dp["train_loss"]) - float(m_3d["train_loss"])) < 1e-5
+    for a, b_ in zip(jax.tree_util.tree_leaves(st_dp.params),
+                     jax.tree_util.tree_leaves(st_3d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=1e-6)
+
+
+def test_pipeline_tp_with_dropout_runs():
+    """Dropout under dp x pp x tp: sharded sites (attention matrix, MLP
+    hidden) draw per-device masks, post-psum sites shared masks — the
+    residual stream must stay replicated over 'model' (check_vma would
+    reject a diverging stream) and the loss finite."""
+    cfg = _cfg(drop_rate=0.1, attn_drop_rate=0.1, s_patchout_t=1)
+    net = MAESTNet(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(lr_schedule=1e-4, adamw=True, weight_decay=1e-4)
+    mesh = make_pipeline_mesh(8, num_stages=2, model_parallel=2)
+    step = make_pipeline_train_step(net, tx, AugmentConfig(), mesh=mesh,
+                                    num_microbatches=2, donate=False)
+    batch = _batch()
+    with mesh:
+        st = TrainState.create(params, tx)
+        b = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+             for k, v in batch.items()}
+        _, m = step(st, b, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["train_loss"]))
+
+
+def test_pipeline_tp_validation_errors():
+    cfg = _cfg(num_heads=2)  # 2 heads not divisible by tp=4
+    net = MAESTNet(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_pipeline_mesh(8, num_stages=2, model_parallel=4)
+    fwd = make_pipeline_forward(net, mesh, num_microbatches=1)
+    x = jnp.zeros((8, 26, 46, 1), jnp.float32)
+    with pytest.raises(ValueError, match="num_heads"):
+        fwd(params, x)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_pipeline_mesh(8, num_stages=2, model_parallel=3)
+
+
 def test_pipeline_train_step_matches_dp():
     """One full pipelined train step (SpecAugment + mixup + patchout + BCE
     + AdamW + NaN guard) must produce the same loss AND the same updated
