@@ -130,12 +130,16 @@ def test_pipeline_tp_train_step_matches_dp():
                                    rtol=5e-4, atol=1e-6)
 
 
-def test_pipeline_tp_with_dropout_runs():
+@pytest.mark.parametrize("remat", [False, True])
+def test_pipeline_tp_with_dropout_runs(remat):
     """Dropout under dp x pp x tp: sharded sites (attention matrix, MLP
     hidden) draw per-device masks, post-psum sites shared masks — the
     residual stream must stay replicated over 'model' (check_vma would
-    reject a diverging stream) and the loss finite."""
-    cfg = _cfg(drop_rate=0.1, attn_drop_rate=0.1, s_patchout_t=1)
+    reject a diverging stream) and the loss finite. remat=True routes the
+    manual TP block through jax.checkpoint (psum/axis_index under
+    rematerialization)."""
+    cfg = _cfg(drop_rate=0.1, attn_drop_rate=0.1, s_patchout_t=1,
+               remat=remat)
     net = MAESTNet(cfg)
     params = init_params(cfg, jax.random.PRNGKey(0))
     tx = make_optimizer(lr_schedule=1e-4, adamw=True, weight_decay=1e-4)
