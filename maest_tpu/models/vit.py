@@ -253,7 +253,14 @@ def block_kwargs(cfg, dtype, *, drop_path_rate: float = 0.0, mesh=None,
     """Single source of truth for per-layer ``Block`` construction kwargs —
     shared by ``MAESTNet.__call__`` and the pipeline-parallel trunk
     (maest_tpu/parallel/pipeline.py), so a new cfg-driven Block argument
-    cannot silently diverge between the two."""
+    cannot silently diverge between the two.
+
+    CAUTION: the PP+TP path does NOT go through ``Block`` — it hand-shards
+    the same math in ``parallel/pipeline.py::_make_tp_block`` (GSPMD cannot
+    partition inside the pipeline's shard_map). Any change to the kwargs
+    here, to ``Block``/``Mlp``/``Attention``, or to how cfg fields map to
+    block behavior must be mirrored there (and is pinned by the PP+TP
+    equivalence tests in tests/test_pipeline_parallel.py)."""
     return dict(
         dim=cfg.embed_dim,
         num_heads=cfg.num_heads,

@@ -78,7 +78,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_spec(path: tuple, shape: tuple, *, fsdp_shards: int = 1) -> P:
+def param_spec(path: tuple, shape: tuple, *, fsdp_shards: int = 1,
+               tensor_parallel: bool = True) -> P:
     """Partition specs for MAEST params.
 
     Megatron-style TP over the ``model`` axis: qkv / fc1 kernels split the
@@ -98,7 +99,7 @@ def param_spec(path: tuple, shape: tuple, *, fsdp_shards: int = 1) -> P:
     keys = tuple(str(k) for k in path)
     name = "/".join(keys)
     spec = [None] * len(shape)
-    if len(shape) >= 2:
+    if len(shape) >= 2 and tensor_parallel:
         if "attn" in name and "qkv" in name and name.endswith("kernel"):
             spec[1] = "model"
         elif "attn" in name and "proj" in name and name.endswith("kernel"):
@@ -115,16 +116,21 @@ def param_spec(path: tuple, shape: tuple, *, fsdp_shards: int = 1) -> P:
     return P(*spec)
 
 
-def shard_params(params, mesh: Mesh, *, fsdp: bool = False):
+def shard_params(params, mesh: Mesh, *, fsdp: bool = False,
+                 tensor_parallel: bool = True):
     """Place a param pytree on the mesh with model-parallel (and, with
-    ``fsdp=True``, ZeRO-3 data-axis) specs."""
+    ``fsdp=True``, ZeRO-3 data-axis) specs. ``tensor_parallel=False``
+    skips the Megatron ``model``-axis specs — used by the pipeline path,
+    where TP sharding happens inside the trunk's shard_map region and the
+    at-rest layout only carries the ZeRO data-axis shards."""
     import flax
 
     fsdp_shards = mesh.shape["data"] if fsdp else 1
     flat = flax.traverse_util.flatten_dict(params)
     out = {}
     for path, leaf in flat.items():
-        spec = param_spec(path, np.shape(leaf), fsdp_shards=fsdp_shards)
+        spec = param_spec(path, np.shape(leaf), fsdp_shards=fsdp_shards,
+                          tensor_parallel=tensor_parallel)
         out[path] = jax.device_put(leaf, NamedSharding(mesh, spec))
     return flax.traverse_util.unflatten_dict(out)
 

@@ -35,9 +35,11 @@ Design notes:
   * Stochastic depth is not supported under pipelining: per-layer
     drop-path rates are static module attributes, and all stages share one
     program. Every shipped MAEST config uses drop_path_rate = 0.
-  * Block-internal dropout keys are folded from (global layer index,
-    schedule step), so train-mode dropout differs bitwise from the
-    sequential forward (identical distribution). With the shipped
+  * Block-internal dropout keys are folded from (data-shard index,
+    global layer index, schedule step), so every batch row draws an
+    independent mask (as in the sequential/DP step) while train-mode
+    dropout differs bitwise from the sequential forward (identical
+    distribution). With the shipped
     drop_rate = 0 configs the pipelined step is numerically identical to
     the sequential one (tests/test_pipeline_parallel.py asserts it).
 """
@@ -132,6 +134,41 @@ def _tp_layout(stacked, cfg: MAESTConfig):
         specs[path] = spec
     return (flax.traverse_util.unflatten_dict(out),
             flax.traverse_util.unflatten_dict(specs))
+
+
+def _fsdp_specs(stacked, specs, d_shards: int):
+    """Augment the trunk's shard_map param specs with ZeRO-3 ``data``-axis
+    sharding and return the matching all-gather dims.
+
+    For each stacked leaf, the largest dim that is not already sharded
+    (dim 0 carries ``pipe``; TP leaves carry ``model``) and is divisible by
+    the data-axis size gets ``data`` added — the weights then enter the
+    shard_map region sharded and are all-gathered at stage entry. The
+    transpose of that gather is a reduce-scatter, so each gradient leaves
+    the region DP-reduced and sharded, and the optimizer update keeps
+    params + Adam moments at 1/DP footprint (the point of ZeRO-3).
+    Returns (specs, dims) where dims maps each leaf to its gather axis
+    (-1 = no shardable dim, leaf stays replicated over ``data``).
+    """
+    import flax
+
+    flat_p = flax.traverse_util.flatten_dict(stacked)
+    flat_s = flax.traverse_util.flatten_dict(specs)
+    out_specs, out_dims = {}, {}
+    for path, leaf in flat_p.items():
+        spec = list(flat_s[path])
+        spec += [None] * (len(leaf.shape) - len(spec))
+        free = [d for d in range(1, len(leaf.shape))
+                if spec[d] is None and leaf.shape[d] % d_shards == 0]
+        if free:
+            d = max(free, key=lambda i: leaf.shape[i])
+            spec[d] = "data"
+            out_dims[path] = d
+        else:
+            out_dims[path] = -1
+        out_specs[path] = P(*spec)
+    return (flax.traverse_util.unflatten_dict(out_specs),
+            flax.traverse_util.unflatten_dict(out_dims))
 
 
 def _make_tp_block(cfg: MAESTConfig, dtype, n_real: Optional[int]):
@@ -257,6 +294,7 @@ def pipeline_trunk(
     train: bool = False,
     dropout_key: Optional[jax.Array] = None,
     dtype=jnp.float32,
+    fsdp: bool = False,
 ) -> jnp.ndarray:
     """Run the transformer blocks GPipe-pipelined over the mesh.
 
@@ -264,6 +302,14 @@ def pipeline_trunk(
     (``stack_block_params``); sharded over ``pipe``. ``tokens`` is sharded
     over ``data`` on the batch axis. Returns the post-trunk residual
     stream, replicated over ``pipe``.
+
+    ``fsdp=True`` (ZeRO-3 x GPipe): block weights additionally enter the
+    shard_map region sharded over ``data`` (``_fsdp_specs``) and are
+    all-gathered once at stage entry; gradients reduce-scatter back, so
+    stored params + Adam moments stay at 1/DP footprint while the stage
+    compute sees full weights. Peak VMEM/HBM during the step includes the
+    gathered stage weights (depth/n_stages of the model), as with any
+    gather-at-use ZeRO-3.
     """
     n_stages = mesh.shape["pipe"]
     tp = dict(mesh.shape).get("model", 1)
@@ -315,9 +361,27 @@ def pipeline_trunk(
     if cfg.remat and train:
         apply_block = jax.checkpoint(apply_block, static_argnums=(3,))
 
+    gather_dims = None
+    if fsdp and d_shards > 1:
+        spec_params, gather_dims = _fsdp_specs(
+            stacked_params, spec_params, d_shards
+        )
+
     def stage_program(stacked_local, xs, key):
         # stacked_local: (layers_per_stage, ...) leaves; xs: (b_local, n, e)
         stage = jax.lax.axis_index("pipe")
+        if gather_dims is not None:
+            # ZeRO-3: weights arrive data-sharded; gather the stage's full
+            # weights once (transpose = reduce-scatter of the gradients)
+            stacked_local = jax.tree.map(
+                lambda x, d: x if d < 0 else jax.lax.all_gather(
+                    x, "data", axis=d, tiled=True),
+                stacked_local, gather_dims,
+            )
+        # the key arrives replicated (in_spec P()); fold in the data-shard
+        # index so each shard's local rows draw independent dropout masks
+        # (without this, row i of every data shard gets the same mask)
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
         xs_mb = xs.reshape(m, -1, *xs.shape[1:])  # (m, mb, n, e)
 
         t_sched = np.arange(m + n_stages - 1)
@@ -371,9 +435,12 @@ def pipeline_apply(
     num_microbatches: int = 4,
     train: bool = False,
     rngs=None,
+    fsdp: bool = False,
 ):
     """Full pipelined forward: front (GSPMD over ``data``) → pipelined
-    trunk → tail. Returns MAESTNet's ``transformer_block == -1`` output."""
+    trunk → tail. Returns MAESTNet's ``transformer_block == -1`` output.
+    ``fsdp`` declares that block params are stored ZeRO-3-sharded over
+    ``data`` (front/tail params are handled by GSPMD either way)."""
     tokens, n_tokens = net.apply(
         {"params": params}, x, train=train, forward_mode="front",
         rngs=rngs,
@@ -384,18 +451,20 @@ def pipeline_apply(
         net.cfg, mesh, stacked, tokens,
         num_microbatches=num_microbatches, n_real=n_real, train=train,
         dropout_key=(rngs or {}).get("dropout"), dtype=net.dtype,
+        fsdp=fsdp,
     )
     return net.apply({"params": params}, h, train=train, forward_mode="tail")
 
 
-def make_pipeline_forward(net, mesh: Mesh, *, num_microbatches: int = 4):
+def make_pipeline_forward(net, mesh: Mesh, *, num_microbatches: int = 4,
+                          fsdp: bool = False):
     """Jitted pipelined inference forward: fn(params, x) -> (logits, ...)."""
 
     @jax.jit
     def forward(params, x):
         return pipeline_apply(
             net, params, x, mesh, num_microbatches=num_microbatches,
-            train=False,
+            train=False, fsdp=fsdp,
         )
 
     return forward
@@ -410,6 +479,7 @@ def make_pipeline_train_step(
     num_microbatches: int = 4,
     teacher_student: bool = False,
     donate: bool = True,
+    fsdp: bool = False,
 ):
     """Pipeline-parallel twin of ``train.steps.make_train_step``: the same
     step body (augmentation, mixup, loss, optimizer, NaN guard) via its
@@ -432,6 +502,7 @@ def make_pipeline_train_step(
         return pipeline_apply(
             net, params, x, mesh,
             num_microbatches=num_microbatches, train=True, rngs=rngs,
+            fsdp=fsdp,
         )
 
     return make_train_step(

@@ -126,11 +126,6 @@ class Trainer:
                     "sequence_parallel (SP token-shards the residual stream "
                     "between blocks; the pipeline owns that seam)"
                 )
-            if tr.get("fsdp"):
-                raise ValueError(
-                    "fsdp + pipeline_parallel is unsupported: pipeline "
-                    "stages need replicated per-stage params inside shard_map"
-                )
             from ..parallel.pipeline import make_pipeline_mesh
 
             # model_parallel > 1 composes: Megatron TP inside each pipeline
@@ -170,10 +165,12 @@ class Trainer:
         accum = int(tr.get("accumulate_grad_batches") or 1)
         # the LR schedule advances per OPTIMIZER step (MultiSteps shows the
         # inner optimizer only completed steps), so keep the epoch-indexed
-        # ramp semantics by scaling steps-per-epoch down by the factor
+        # ramp semantics by scaling steps-per-epoch down by the factor;
+        # fractional on purpose — flooring would drift the epoch rate when
+        # steps_per_epoch is not a multiple of accum
         schedule = make_schedule(
             opt["schedule_mode"], opt["lr"],
-            max(1, self.steps_per_epoch // accum),
+            self.steps_per_epoch / accum if accum > 1 else self.steps_per_epoch,
             warm_up_len=opt["warm_up_len"],
             ramp_down_start=opt["ramp_down_start"],
             ramp_down_len=opt["ramp_down_len"],
@@ -185,18 +182,22 @@ class Trainer:
             accumulate_steps=accum,
         )
 
+        self.fsdp = bool(tr.get("fsdp")) and self.n_data > 1
         with self.mesh:
             if self.pipeline_parallel:
                 # stage params are selected inside the pipeline shard_map;
-                # storage stays the replicated checkpoint-mappable layout
-                from ..parallel.mesh import replicated
+                # storage keeps the checkpoint-mappable layout — replicated,
+                # or ZeRO-3 data-sharded under fsdp (TP sharding, if any,
+                # happens inside the trunk's shard_map, not at rest)
+                if self.fsdp:
+                    params = shard_params(params, self.mesh, fsdp=True,
+                                          tensor_parallel=False)
+                else:
+                    from ..parallel.mesh import replicated
 
-                params = jax.device_put(params, replicated(self.mesh))
+                    params = jax.device_put(params, replicated(self.mesh))
             else:
-                params = shard_params(
-                    params, self.mesh,
-                    fsdp=bool(tr.get("fsdp")) and self.n_data > 1,
-                )
+                params = shard_params(params, self.mesh, fsdp=self.fsdp)
             self.state = TrainState.create(params, self.tx)
             # scalars/opt counters must live on the mesh, not device 0
             from ..parallel.mesh import ensure_on_mesh
@@ -218,12 +219,13 @@ class Trainer:
                 self.net, self.tx, self.aug, mesh=self.mesh,
                 num_microbatches=self.num_microbatches,
                 teacher_student=self.teacher_student,
+                fsdp=self.fsdp,
             )
             # eval streams one microbatch per stage (m=1): _pad_batches only
             # guarantees divisibility by the data-axis size
             eval_apply = lambda params, x: pipeline_apply(  # noqa: E731
                 self.net, params, x, self.mesh, num_microbatches=1,
-                train=False,
+                train=False, fsdp=self.fsdp,
             )
         else:
             self.train_step = make_train_step(

@@ -73,7 +73,7 @@ def cosine_cycle(cycle_len: int = 20, ramp_down_start: int = 100,
 def make_schedule(
     schedule_mode: str,
     base_lr: float,
-    steps_per_epoch: int,
+    steps_per_epoch: float,
     *,
     warm_up_len: int = 5,
     ramp_down_start: int = 50,
@@ -82,7 +82,11 @@ def make_schedule(
 ) -> optax.Schedule:
     """Step-indexed optax schedule applying the epoch-wise multiplier
     (the reference steps LambdaLR once per epoch; we hold the multiplier
-    constant within an epoch for identical trajectories)."""
+    constant within an epoch for identical trajectories).
+
+    ``steps_per_epoch`` may be fractional: under gradient accumulation the
+    schedule is indexed by OPTIMIZER steps, of which there are
+    steps_per_epoch/accum per epoch — not necessarily an integer."""
     if schedule_mode == "exp_lin":
         lam = exp_warmup_linear_down(
             warm_up_len, ramp_down_len, ramp_down_start, last_lr_value
@@ -101,7 +105,9 @@ def make_schedule(
     def schedule(step):
         import jax.numpy as jnp
 
-        epoch = jnp.minimum(step // steps_per_epoch, max_epochs - 1)
+        epoch = jnp.minimum(
+            jnp.asarray(step // steps_per_epoch, jnp.int32), max_epochs - 1
+        )
         return jnp.asarray(table)[epoch]
 
     return schedule

@@ -140,6 +140,23 @@ def test_train_pipeline_tensor_parallel(corpus, tmp_path):
     assert res == {"done": True}
 
 
+def test_train_pipeline_fsdp(corpus, tmp_path):
+    """trainer.pipeline_parallel=2 + trainer.fsdp trains end-to-end on a
+    (data=4, pipe=2) mesh: ZeRO-3-sharded storage (params + Adam moments
+    over 'data') with stage-entry weight all-gather inside the GPipe
+    trunk, checkpoints written from the sharded state."""
+    res = run(["main", "with"] + _overrides(corpus, tmp_path, [
+        "trainer.devices=8",
+        "trainer.pipeline_parallel=2",
+        "trainer.fsdp=True",
+        "trainer.num_microbatches=2",
+        "trainer.max_epochs=1",
+    ]))
+    assert res == {"done": True}
+    runs = sorted((tmp_path / "exp_logs").iterdir())
+    assert (runs[-1] / "checkpoints" / "best").exists()
+
+
 def test_pipeline_parallel_guards(corpus, tmp_path):
     """PP rejects composing with SP and rejects the extraction command."""
     with pytest.raises(ValueError, match="pipeline_parallel does not"):

@@ -83,3 +83,21 @@ def test_nan_guard_protects_accumulator():
                     jax.tree_util.tree_leaves(st_after.opt_state)):
         if hasattr(a, "shape"):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_schedule_epoch_rate_with_non_divisible_accum():
+    """Regression: with steps_per_epoch=10 and accumulate_grad_batches=4
+    there are 2.5 OPTIMIZER steps per epoch. The schedule must index
+    epoch floor(step / 2.5); flooring the rate to int (10 // 4 = 2) made
+    the epoch-wise ramps fire ~25% early."""
+    from maest_tpu.train.schedules import make_schedule
+
+    kw = dict(warm_up_len=3, ramp_down_start=50, ramp_down_len=50,
+              last_lr_value=0.01)
+    sched = make_schedule("exp_lin", 1.0, 10 / 4, **kw)
+    by_epoch = make_schedule("exp_lin", 1.0, 1, **kw)  # epoch == step
+    # optimizer step 4 is still epoch 1 (4 // 2.5 == 1); the old int
+    # rate (2) wrongly put it in epoch 2
+    assert float(sched(4)) == float(by_epoch(1))
+    assert float(sched(5)) == float(by_epoch(2))
+    assert float(by_epoch(1)) != float(by_epoch(2))

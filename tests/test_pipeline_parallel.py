@@ -205,6 +205,56 @@ def test_pipeline_train_step_matches_dp():
                                    rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.parametrize("tp", [1, 2])
+def test_pipeline_fsdp_train_step_matches_dp(tp):
+    """ZeRO-3 x GPipe (x Megatron TP): block params stored data-sharded,
+    all-gathered at stage entry, gradients reduce-scattered back. One train
+    step must match the plain DP step (loss + updated params), and the
+    updated params must STAY data-sharded (the ZeRO footprint claim)."""
+    from maest_tpu.parallel.mesh import shard_params
+
+    cfg = _cfg(s_patchout_t=1)
+    net = MAESTNet(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(lr_schedule=1e-4, adamw=True, weight_decay=1e-4)
+    aug = AugmentConfig(time_masks=4, freq_masks=2)
+    batch = _batch()
+
+    mesh_dp = make_mesh(8, model_parallel=1)
+    step_dp = make_train_step(net, tx, aug, donate=False)
+    with mesh_dp:
+        st = TrainState.create(params, tx)
+        b = {k: jax.device_put(v, NamedSharding(mesh_dp, P("data")))
+             for k, v in batch.items()}
+        st_dp, m_dp = step_dp(st, b, jax.random.PRNGKey(42))
+
+    mesh = make_pipeline_mesh(8, num_stages=2, model_parallel=tp)
+    step = make_pipeline_train_step(
+        net, tx, aug, mesh=mesh, num_microbatches=2, donate=False, fsdp=True
+    )
+    with mesh:
+        sharded = shard_params(params, mesh, fsdp=True, tensor_parallel=False)
+        st = TrainState.create(sharded, tx)
+        b = {k: jax.device_put(v, NamedSharding(mesh, P("data")))
+             for k, v in batch.items()}
+        st_pp, m_pp = step(st, b, jax.random.PRNGKey(42))
+
+    tol = dict(rtol=1e-6, atol=1e-8) if tp == 1 else dict(rtol=5e-4, atol=1e-6)
+    assert abs(float(m_dp["train_loss"]) - float(m_pp["train_loss"])) < (
+        1e-6 if tp == 1 else 1e-5
+    )
+    for a, b_ in zip(jax.tree_util.tree_leaves(st_dp.params),
+                     jax.tree_util.tree_leaves(st_pp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), **tol)
+
+    # the big block kernels must still be sharded after the step (the ZeRO
+    # footprint claim): each device holds strictly less than the full leaf
+    qkv = st_pp.params["blocks_0"]["attn"]["qkv"]["kernel"]
+    assert qkv.addressable_shards[0].data.size < qkv.size, (
+        f"qkv kernel lost its ZeRO shard: {qkv.sharding}"
+    )
+
+
 def test_pipeline_train_step_remat():
     """cfg.remat routes the pipelined block applies through jax.checkpoint;
     the result must be unchanged."""
@@ -284,6 +334,31 @@ def test_pipeline_train_with_attention_dropout():
              for k, v in batch.items()}
         _, m = step(st, b, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["train_loss"]))
+
+
+@pytest.mark.parametrize("tp", [1, 2])
+def test_pipeline_dropout_masks_differ_across_data_shards(tp):
+    """Regression: the trunk's dropout key must fold in the data-shard
+    index. The key enters the shard_map replicated, so without the fold
+    row i of EVERY data shard drew a bitwise-identical mask (dropout
+    correlated across the global batch). With all batch rows identical,
+    the bug makes shard 0's output block equal shard 1's; independent
+    masks make them differ."""
+    from maest_tpu.parallel.pipeline import pipeline_trunk
+
+    cfg = _cfg(drop_rate=0.3)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    stacked = stack_block_params(params, cfg.depth)
+    mesh = make_pipeline_mesh(8, num_stages=2, model_parallel=tp)
+    n_data = mesh.shape["data"]
+    row = np.random.default_rng(3).standard_normal((1, 24, cfg.embed_dim))
+    tokens = jnp.asarray(np.repeat(row, 16, axis=0), jnp.float32)
+    out = np.asarray(pipeline_trunk(
+        cfg, mesh, stacked, tokens, num_microbatches=2, n_real=None,
+        train=True, dropout_key=jax.random.PRNGKey(7), dtype=jnp.float32,
+    ))
+    b_local = 16 // n_data
+    assert np.abs(out[:b_local] - out[b_local:2 * b_local]).max() > 1e-3
 
 
 def test_stack_block_params_layout():

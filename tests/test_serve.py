@@ -206,8 +206,12 @@ def test_batcher_stress_random_sizes(model):
         t.start()
     for t in threads:
         t.join(timeout=120)
+    hung = [i for i, t in enumerate(threads) if t.is_alive()]
     batcher.close()
+    assert not hung, f"requests still blocked after join timeout: {hung}"
     assert not errs, errs[:3]
+    missing = [i for i, o in enumerate(outs) if o is None]
+    assert not missing, f"requests returned no result: {missing}"
     for i, (got, ref) in enumerate(zip(outs, expect)):
         if reqs[i].shape[0] == 0:
             assert got.shape == (0, 16)
