@@ -180,6 +180,11 @@ class MAEST:
             self.params, x, transformer_block, return_self_attention
         )
 
+    def forward(self, *args, **kwargs):
+        """torch-idiom alias for ``__call__`` — reference user code calls
+        ``model.forward(x, ...)`` directly (models/maest.py:831)."""
+        return self(*args, **kwargs)
+
     def predict_labels(self, x):
         """Sigmoid activations averaged over the chunk axis + label list
         (reference: models/maest.py:935-939)."""
