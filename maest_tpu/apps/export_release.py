@@ -36,27 +36,46 @@ def load_training_checkpoint(path: str, *, with_opt_state: bool = False
     ``select_params`` discards anyway) is NOT read from disk: the restore
     target is built from the checkpoint metadata with the ``opt_state``
     subtree omitted entirely, and ``PyTreeRestore(partial_restore=True)``
-    skips those array reads."""
+    skips those array reads.
+
+    The target carries an explicit single-device sharding: checkpoints
+    written by a sharded run (FSDP/TP storage) record shardings that do
+    not exist in this process, and orbax refuses a sharding-less target
+    for them — the release artifact wants plain host arrays either way."""
     import jax
     import orbax.checkpoint as ocp
 
     p = Path(path).absolute()
-    if with_opt_state:
-        with ocp.StandardCheckpointer() as ckptr:
-            return ckptr.restore(p)
+    dev_sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
 
     with ocp.PyTreeCheckpointer() as ckptr:
         meta = ckptr.metadata(p)
         tree = getattr(meta, "item_metadata", meta)
         tree = dict(getattr(tree, "tree", tree))
-        tree.pop("opt_state", None)  # omitted subtree is never read
+        if not with_opt_state:
+            tree.pop("opt_state", None)  # omitted subtree is never read
+        is_none = lambda x: x is None  # noqa: E731
+        # None leaves (empty optax sub-states) have no value metadata;
+        # PLACEHOLDER tells partial_restore to skip them outright
         target = jax.tree.map(
-            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), tree
+            lambda m: ocp.PLACEHOLDER if m is None
+            else jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                      sharding=dev_sharding),
+            tree, is_leaf=is_none,
         )
-        return dict(
-            ckptr.restore(p, ocp.args.PyTreeRestore(item=target,
-                                                    partial_restore=True))
+        # explicit restore_args carry the target shardings — without them
+        # orbax falls back to the SAVED shardings, which reference devices
+        # that do not exist in a single-chip export process
+        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+        restored = ckptr.restore(
+            p, ocp.args.PyTreeRestore(item=target,
+                                      restore_args=restore_args,
+                                      partial_restore=True)
         )
+        return dict(jax.tree.map(
+            lambda x: None if x is ocp.PLACEHOLDER else x, restored,
+            is_leaf=lambda x: x is ocp.PLACEHOLDER,
+        ))
 
 
 def run_config_for(checkpoint: str) -> dict | None:

@@ -108,3 +108,31 @@ def test_subset_restore_skips_opt_state(trained_ckpt):
         np.asarray(state["params"]["head_linear"]["kernel"], np.float32),
         np.asarray(full["params"]["head_linear"]["kernel"], np.float32),
     )
+
+
+def test_restore_in_fresh_single_device_process(trained_ckpt):
+    """Regression: a checkpoint saved by a multi-device run (replicated or
+    FSDP-sharded storage) must restore in a process where those devices do
+    not exist — the real export scenario is a single-chip host. Without
+    explicit restore_args orbax falls back to the SAVED shardings and
+    raises ('sharding passed to deserialization ... Got None')."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    code = (
+        "import jax; assert jax.device_count() == 1, jax.devices(); "
+        "from maest_tpu.apps.export_release import "
+        "load_training_checkpoint, select_params; "
+        f"state = load_training_checkpoint({str(trained_ckpt)!r}); "
+        "params, which = select_params(state, swa=True); "
+        "print('restored', which, state['step'])"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "restored" in proc.stdout
