@@ -150,5 +150,54 @@ def main_with_retry(attempts: int = 3, backoff_s: float = 20.0):
             time.sleep(backoff_s)
 
 
+_FAIL_FAST = ("AssertionError", "TypeError", "ValueError", "KeyError")
+
+
+def run_supervised(attempts: int = 4, timeout_s: float = 1200.0):
+    """Run the measurement in a timeout-bounded child process.
+
+    Relay outages can HANG jax backend init for tens of minutes without
+    raising (observed: ``jax.devices()`` blocked > 5 min) — an in-process
+    retry never fires on a hang. The child carries the in-process retry for
+    quick transient errors; the parent converts hangs into killed attempts
+    and retries with a growing backoff, so a relay outage shorter than
+    ~an hour still yields a benchmark record."""
+    import os
+    import subprocess
+
+    backoff = 30.0
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "MAEST_BENCH_CHILD": "1"},
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            reason = f"hang (> {timeout_s:.0f}s)"
+        else:
+            if proc.stderr:
+                print(proc.stderr, end="", file=sys.stderr)
+            if proc.returncode == 0:
+                print(proc.stdout, end="")
+                return
+            if any(t in proc.stderr for t in _FAIL_FAST):
+                # deterministic harness bug: propagate immediately
+                print(proc.stdout, end="")
+                sys.exit(proc.returncode)
+            reason = f"rc={proc.returncode}"
+        if i == attempts - 1:
+            raise RuntimeError(f"bench failed after {attempts} attempts ({reason})")
+        print(f"# bench attempt {i + 1} failed ({reason}); "
+              f"retrying in {backoff:.0f}s", file=sys.stderr)
+        time.sleep(backoff)
+        backoff *= 2
+
+
 if __name__ == "__main__":
-    main_with_retry()
+    import os
+
+    if os.environ.get("MAEST_BENCH_CHILD"):
+        main_with_retry()
+    else:
+        run_supervised()
