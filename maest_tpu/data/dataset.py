@@ -66,6 +66,11 @@ class MelChunkDataset:
         self.groundtruth = load_groundtruth(groundtruth_file)
         self.filenames = list(self.groundtruth.keys())
         self.rng = rng or np.random.default_rng()
+        # BatchLoader keeps two batches in flight on a thread pool;
+        # np.random.Generator is not thread-safe, so crop draws take a lock
+        import threading
+
+        self._rng_lock = threading.Lock()
 
     def __len__(self):
         return len(self.filenames)
@@ -84,7 +89,8 @@ class MelChunkDataset:
             frames_num = self._file_frames(path)
             if offset is None:
                 max_frame = frames_num - size
-                offset = int(self.rng.integers(0, max(max_frame, 0) + 1))
+                with self._rng_lock:
+                    offset = int(self.rng.integers(0, max(max_frame, 0) + 1))
             mel = self._read_chunk(path, offset, frames_num)
         return mel.T  # (bands, time)
 
@@ -128,7 +134,8 @@ class MelChunkDataset:
             if path.suffix == ".npy":
                 return None
             frames = self._file_frames(path)
-            offset = int(self.rng.integers(0, max(frames - size, 0) + 1))
+            with self._rng_lock:
+                offset = int(self.rng.integers(0, max(frames - size, 0) + 1))
             paths.append(str(path))
             offsets.append(offset)
             metas.append({
@@ -197,7 +204,17 @@ class ExhaustiveMelDataset(MelChunkDataset):
                 frames_num = self._file_frames(self.base_dir / filename)
                 if self.half_overlap:
                     frames_num -= self.hop
-                n_patches = int((frames_num * 1.1) // self.hop)  # 10% margin
+                # 10% zero-pad margin (reference: discogs/dataset.py:236),
+                # clamped so every window starts before EOF. The raw
+                # reference formula accumulates the margin over the WHOLE
+                # file, emitting offsets past EOF for anything longer than
+                # 10 clips — a negative read that crashes its own loader
+                # (discogs/dataset.py:101-110); where the reference works,
+                # the clamp never binds and window sets are identical.
+                n_patches = min(
+                    int((frames_num * 1.1) // self.hop),
+                    -(-frames_num // self.hop),  # ceil: start < frames_num
+                )
                 entries.extend((filename, i * self.hop) for i in range(n_patches))
         else:
             entries = [(f, 0) for f in self.filenames]

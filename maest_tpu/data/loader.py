@@ -110,16 +110,32 @@ class BatchLoader:
 
 
 def device_prefetch(batches: Iterator[dict], sharding=None, size: int = 2,
-                    keys: Sequence[str] = ("x", "y", "y_teacher")) -> Iterator[dict]:
+                    keys: Sequence[str] = ("x", "y", "y_teacher"),
+                    process_local: bool = False) -> Iterator[dict]:
     """Asynchronously move batches to device (double buffering).
 
     Array values under ``keys`` are jax.device_put with ``sharding``;
     other entries (filenames) pass through on host.
+
+    ``process_local=True`` (multi-host training): each host's batch holds
+    only ITS shard of the global batch (global_batch / process_count rows,
+    from its slice of the sampler's index space), assembled into one global
+    array with ``jax.make_array_from_process_local_data``. With the default
+    ``False`` every host must feed the same full global batch.
     """
     import jax
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+    multiproc = process_local and jax.process_count() > 1
+
+    def put_device(arr):
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        if sharding is not None:
+            return jax.device_put(arr, sharding)
+        return jax.device_put(arr)
 
     def producer():
         try:
@@ -127,20 +143,45 @@ def device_prefetch(batches: Iterator[dict], sharding=None, size: int = 2,
                 out = dict(batch)
                 for k in keys:
                     if k in out:
-                        arr = np.asarray(out[k])
-                        out[k] = (
-                            jax.device_put(arr, sharding)
-                            if sharding is not None
-                            else jax.device_put(arr)
-                        )
-                q.put(out)
+                        out[k] = put_device(np.asarray(out[k]))
+                # bounded put that aborts when the consumer went away —
+                # a plain q.put would block forever if the consumer broke
+                # early (limit_*_batches), leaking this thread, the
+                # loader's pool, and the device-resident batches
+                while not stop.is_set():
+                    try:
+                        q.put(out, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    break
         finally:
-            q.put(_END)
+            if hasattr(batches, "close"):
+                batches.close()  # unwinds BatchLoader's pool deterministically
+            # the sentinel must not be dropped on a momentarily-full queue
+            # (the consumer would drain the queue and then block forever);
+            # bounded-put until it lands or the consumer has gone away
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:  # unblock a producer waiting on a full queue
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=10.0)

@@ -327,17 +327,24 @@ class MAESTNet(nn.Module):
         transformer_block: int = -1,
         return_self_attention: bool = False,
         return_layer_tokens: bool = False,
+        tap_block: Optional[int] = None,
         forward_mode: str = "full",
     ):
         cfg = self.cfg
         eps = cfg.layer_norm_eps
         b = x.shape[0]
 
+        if tap_block is not None and (transformer_block != -1
+                                      or return_layer_tokens):
+            raise ValueError(
+                "tap_block rides the transformer_block == -1 forward and "
+                "is exclusive with return_layer_tokens"
+            )
         if forward_mode not in ("full", "front", "tail"):
             raise ValueError(f"unknown forward_mode {forward_mode!r}")
         if forward_mode != "full" and (
             transformer_block != -1 or return_self_attention
-            or return_layer_tokens
+            or return_layer_tokens or tap_block is not None
         ):
             raise ValueError(
                 "front/tail forward modes only support the plain "
@@ -527,13 +534,24 @@ class MAESTNet(nn.Module):
         if transformer_block == -1:
             # per-layer token taps feed the TF SavedModel export, which
             # exposes ``layer_{0..11}_tokens`` outputs (reference:
-            # packaging/onnx_to_tf.sh graph surgery)
+            # packaging/onnx_to_tf.sh graph surgery); ``tap_block`` instead
+            # appends ONE block-k 2304-d embedding so predict gets logits +
+            # embeddings from a single forward (eval is deterministic, so
+            # this equals the truncated transformer_block == k forward)
             layer_tokens = []
-            for blk in blocks:
+            tap = None
+            for i, blk in enumerate(blocks):
                 x = blk(x, not train)
                 if return_layer_tokens:
                     layer_tokens.append(x[:, :n_tokens])
+                if tap_block is not None and i == tap_block:
+                    tap = jnp.concatenate(
+                        [x[:, 0, :], x[:, 1, :],
+                         jnp.mean(x[:, 2:n_tokens, :], axis=1)], axis=1
+                    )
             out = self._tail(x)
+            if tap_block is not None:
+                return out + (tap,)
             if return_layer_tokens:
                 return out + (tuple(layer_tokens),)
             return out

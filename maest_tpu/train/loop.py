@@ -382,8 +382,18 @@ class Trainer:
             _logger.info("resumed from %s at epoch %d", cfg["ckpt_path"], self.epoch)
 
         train_ds = self._train_dataset()
+        # each host loads only ITS rows of the global batch (the sampler
+        # hands it a 1/P slice of the index space); device_prefetch
+        # assembles the global array from the per-process shards, keeping
+        # steps-per-epoch equal to the single-host schedule
+        n_proc = jax.process_count()
+        if self.global_batch % n_proc:
+            raise ValueError(
+                f"global batch {self.global_batch} not divisible by "
+                f"{n_proc} processes"
+            )
         loader = BatchLoader(
-            train_ds, cfg["datamodule"]["batch_size_train"] * self.n_data,
+            train_ds, self.global_batch // n_proc,
             num_workers=cfg["datamodule"]["num_workers"], drop_last=True,
         )
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
@@ -396,7 +406,8 @@ class Trainer:
                 n_steps = 0
                 last = {}
                 for batch in device_prefetch(
-                    loader.iter_indices(idx), self.batch_shard
+                    loader.iter_indices(idx), self.batch_shard,
+                    process_local=True,
                 ):
                     # per-step randomness comes from fold_in(rng, state.step)
                     # inside the jitted step; no host-side split per step
@@ -440,13 +451,18 @@ class Trainer:
             dataset, cfg["datamodule"]["batch_size_test"],
             num_workers=cfg["datamodule"]["num_workers"],
         )
-        ys, outs, n = [], {}, 0
+        ys, yts, outs, n = [], [], {}, 0
         batches = _pad_batches(iter(loader), self.n_data,
                                cfg["datamodule"]["batch_size_test"])
-        for batch in device_prefetch(batches, self.batch_shard):
+        # only x is prefetched to device: the eval consumes y/y_teacher on
+        # HOST (losses recomputed from gathered logits below) — device_put
+        # + np.asarray would round-trip the targets over the ~50 MB/s relay
+        for batch in device_prefetch(batches, self.batch_shard, keys=("x",)):
             n_true = batch["_n"]
             res = self.eval_step(self.state, _step_batch(batch))
             ys.append(np.asarray(batch["y"], np.float32)[:n_true])
+            if "y_teacher" in batch:
+                yts.append(np.asarray(batch["y_teacher"], np.float32)[:n_true])
             for name, r in res.items():
                 outs.setdefault(name, []).append(
                     np.asarray(r["logits"], np.float32)[:n_true]
@@ -456,17 +472,32 @@ class Trainer:
                 break
         if not ys:
             return {}
+
+        def bce(z, t):
+            # BCE with logits, numerically stable — matches reference
+            # BCEWithLogitsLoss exactly even in saturated regimes
+            # (reference: models/module.py:90).
+            return float(np.mean(
+                np.maximum(z, 0) - z * t + np.log1p(np.exp(-np.abs(z)))
+            ))
+
         y = gather_across_hosts(np.concatenate(ys))
+        y_teacher = (gather_across_hosts(np.concatenate(yts)) if yts else None)
         metrics = {}
         for name, chunks in outs.items():
             suffix = f"_{name}" if name else ""
             z = gather_across_hosts(np.concatenate(chunks))
-            # BCE with logits over the true rows, numerically stable — matches
-            # reference BCEWithLogitsLoss exactly even in saturated regimes
-            # (reference: models/module.py:90).
-            loss = float(np.mean(
-                np.maximum(z, 0) - z * y + np.log1p(np.exp(-np.abs(z)))
-            ))
+            loss = bce(z, y)
+            if y_teacher is not None:
+                # teacher-student eval: standard/teacher/combined losses,
+                # BOTH from the first-head logits — faithful to the
+                # reference eval, which (unlike its train step) scores the
+                # teacher targets against logits, not the dist head
+                # (reference: models/module.py:326-331).
+                loss_teacher = bce(z, y_teacher)
+                metrics[f"{stage}_loss_standard{suffix}"] = loss
+                metrics[f"{stage}_loss_teacher{suffix}"] = loss_teacher
+                loss = (loss + loss_teacher) / 2
             y_hat = 1.0 / (1.0 + np.exp(-z))
             ap, roc = macro_ap_roc(y, y_hat)
             metrics[f"{stage}_loss{suffix}"] = loss
@@ -594,12 +625,18 @@ def compute_norm_stats(cfg: dict) -> tuple[float, float]:
     dm = cfg["datamodule"]
     ds = MelChunkDataset(dm["groundtruth_train"], dm["base_dir"], _dataset_cfg(cfg))
     loader = BatchLoader(ds, dm["batch_size_test"], num_workers=dm["num_workers"])
-    means, stds = [], []
+    # streaming global moments: averaging per-batch stds would ignore the
+    # between-batch variance of the means (biased low) and over-weight a
+    # ragged last batch
+    total, total_sq, count = 0.0, 0.0, 0
     for batch in loader:
         x = batch["x"].astype(np.float64)
-        means.append(x.mean())
-        stds.append(x.std())
-    return float(np.mean(means)), float(np.mean(stds))
+        total += float(x.sum())
+        total_sq += float((x * x).sum())
+        count += x.size
+    mean = total / count
+    var = max(total_sq / count - mean * mean, 0.0)
+    return float(mean), float(np.sqrt(var))
 
 
 def model_speed_test(cfg: dict, batch_size: int = 100, test_length: int = 100

@@ -20,6 +20,10 @@ def macro_ap_roc(y_true: np.ndarray, y_score: np.ndarray) -> tuple[float, float]
     # drop classes with no positives or no negatives (undefined AUC)
     pos = y_true.sum(axis=0)
     valid = (pos > 0) & (pos < len(y_true))
+    if not valid.any():
+        # tiny/degenerate eval subsets (e.g. limit_val_batches smoke runs)
+        # can leave no scoreable class; sklearn rejects zero-width inputs
+        return float("nan"), float("nan")
     if not valid.all():
         y_true = y_true[:, valid]
         y_score = y_score[:, valid]

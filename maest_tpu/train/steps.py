@@ -201,6 +201,10 @@ def make_eval_step(
         logits = logits.astype(jnp.float32)
         res = {"loss": loss, "logits": logits, "y_hat": jax.nn.sigmoid(logits)}
         if teacher_student:
+            # deliberately the FIRST-head logits, not the dist head the
+            # train step scores: the reference's eval does the same
+            # (models/module.py:326-331 uses `logits, _ = net(x)` for both
+            # the standard and teacher losses) — faithful asymmetry
             loss_teacher = bce_with_logits(logits, batch["y_teacher"])
             res["loss_standard"] = loss
             res["loss_teacher"] = loss_teacher
@@ -224,10 +228,13 @@ def make_predict_step(net: MAESTNet, aug: AugmentConfig = AugmentConfig()):
     @functools.partial(jax.jit, static_argnames=("transformer_block",))
     def step(params, batch, transformer_block: int):
         x = _prepare(batch["x"], aug, None, train=False)
-        logits = net.apply({"params": params}, x, train=False)[0]
-        _, embeddings = net.apply(
-            {"params": params}, x, train=False, transformer_block=transformer_block
+        # one forward for both outputs: tap_block captures the block-k
+        # 2304-d embedding along the way (identical to the truncated
+        # transformer_block == k forward — eval is deterministic), instead
+        # of re-running blocks 0..k a second time
+        out = net.apply(
+            {"params": params}, x, train=False, tap_block=transformer_block
         )
-        return {"logits": logits, "embeddings": embeddings}
+        return {"logits": out[0], "embeddings": out[-1]}
 
     return step

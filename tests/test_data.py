@@ -129,3 +129,100 @@ def test_batch_loader(corpus):
     assert batches[0]["x"].shape == (3, 96, 125)
     assert batches[1]["x"].shape == (1, 96, 125)
     assert len(batches[0]["filename"]) == 3
+
+
+def test_exhaustive_long_file_windows_stay_within_eof(tmp_path):
+    """Regression: the reference's raw margin formula
+    (int(frames*1.1 // hop), discogs/dataset.py:236) accumulates the 10%
+    margin over the WHOLE file — for anything longer than 10 clips it emits
+    offsets past EOF, which crash the numpy reader (negative read) and make
+    the native reader return phantom all-zero windows. Windows must start
+    before EOF, and the window count must match the reference wherever the
+    reference doesn't crash."""
+    rng = np.random.default_rng(0)
+    frames = 2500  # 20 windows of 125 frames (20 clips >> the 10-clip limit)
+    arr = rng.standard_normal((frames, 96)).astype("float16")
+    arr.tofile(tmp_path / "long.mmap")
+    gt = {"long.mmap": (rng.random(8) > 0.5).astype("float16")}
+    gt_path = tmp_path / "gt.pk"
+    with open(gt_path, "wb") as f:
+        pickle.dump(gt, f)
+
+    ds = ExhaustiveMelDataset(gt_path, tmp_path, CFG)
+    offsets = [o for _, o in ds.entries]
+    assert len(offsets) == 20  # exact coverage, no phantom windows
+    assert max(offsets) < frames
+    # every window must be readable and non-degenerate on the python path
+    for i in (0, len(ds) - 1):
+        item = ds[i]
+        assert item["x"].shape == (96, 125)
+        assert np.abs(np.asarray(item["x"], np.float32)).sum() > 0
+
+
+def test_device_prefetch_early_break_unwinds_producer(corpus):
+    """Regression: breaking out of device_prefetch mid-iteration
+    (limit_*_batches) used to leave the producer thread blocked forever on
+    a full queue, pinning the BatchLoader's thread pool and device-resident
+    batches. Closing the consumer must unwind the source generator."""
+    import gc
+
+    from maest_tpu.data.loader import device_prefetch
+
+    root, gt = corpus
+    ds = MelChunkDataset(gt, root, CFG, rng=np.random.default_rng(0))
+    loader = BatchLoader(ds, 2, num_workers=2)
+    closed = []
+
+    def batches():
+        try:
+            for i, b in enumerate(loader.iter_indices(list(range(4)) * 8)):
+                yield b
+        finally:
+            closed.append(True)
+
+    gen = device_prefetch(batches(), None, size=1)
+    next(gen)
+    gen.close()  # consumer walks away after one batch
+    gc.collect()
+    assert closed == [True], "producer did not unwind the batch source"
+
+
+def test_macro_ap_roc_no_valid_classes():
+    """All-constant labels (tiny smoke evals) must yield NaN metrics, not a
+    sklearn crash that aborts the epoch loop."""
+    from maest_tpu.train.metrics import macro_ap_roc
+
+    y = np.ones((4, 3), np.float32)  # every class all-positive
+    s = np.random.default_rng(0).random((4, 3)).astype(np.float32)
+    ap, roc = macro_ap_roc(y, s)
+    assert np.isnan(ap) and np.isnan(roc)
+
+
+def test_compute_norm_stats_global_moments(tmp_path):
+    """Regression: mean-of-batch-stds underestimates the dataset std when
+    file means differ; the estimator must return the GLOBAL moments."""
+    rng = np.random.default_rng(0)
+    gt = {}
+    vals = []
+    for i, mu in enumerate((-3.0, 3.0)):
+        arr = (mu + 0.1 * rng.standard_normal((125, 96))).astype("float16")
+        arr.tofile(tmp_path / f"m{i}.mmap")
+        gt[f"m{i}.mmap"] = np.ones(8, "float16")
+        vals.append(arr.astype(np.float64))
+    gt_path = tmp_path / "gt.pk"
+    with open(gt_path, "wb") as f:
+        pickle.dump(gt, f)
+
+    from maest_tpu.train.loop import compute_norm_stats
+
+    cfg = {
+        "dataset": {"sample_rate": 16000, "hop_size": 256, "n_bands": 96},
+        "datamodule": {
+            "groundtruth_train": str(gt_path), "base_dir": str(tmp_path),
+            "batch_size_test": 1, "num_workers": 1, "clip_length": 2,
+        },
+    }
+    mean, std = compute_norm_stats(cfg)
+    allv = np.concatenate([v.ravel() for v in vals])
+    assert mean == pytest.approx(allv.mean(), abs=1e-6)
+    assert std == pytest.approx(allv.std(), abs=1e-6)  # ~3.0, not ~0.1

@@ -210,10 +210,21 @@ def test_teacher_student_training(corpus, tmp_path):
     for i in range(10):
         np.save(teacher_dir / f"clip{i}.mmap.logits.npy",
                 rng.standard_normal(8).astype("float32"))
-    res = run(["main", "with"] + _overrides(corpus, tmp_path, [
+    ts_overrides = [
         "datamodule.teacher_student.do=True",
         f"datamodule.teacher_student.teacher_target_base_dir={teacher_dir}",
         "maest.distilled_type=separated",
         "trainer.max_epochs=1",
-    ]))
+    ]
+    res = run(["main", "with"] + _overrides(corpus, tmp_path, ts_overrides))
     assert res == {"done": True}
+
+    # TS eval must log standard/teacher/combined losses (reference:
+    # models/module.py:318-349), with the combined loss = their mean
+    res = run(["test", "with"]
+              + _overrides(corpus, tmp_path, ts_overrides
+                           + [f"datamodule.groundtruth_test={corpus}/gt_test.pk"]))
+    assert "test_loss_standard" in res and "test_loss_teacher" in res
+    assert res["test_loss"] == pytest.approx(
+        (res["test_loss_standard"] + res["test_loss_teacher"]) / 2
+    )
