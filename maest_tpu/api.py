@@ -228,13 +228,7 @@ def get_maest(
     cache directory (no network in this environment); ``checkpoint=`` loads an
     explicit ``.ckpt``/``.pt``/``.safetensors`` file.
     """
-    from .checkpoints.convert import (
-        load_safetensors,
-        load_torch_checkpoint,
-        merge_params,
-        strip_prefix,
-        torch_to_jax_params,
-    )
+    from .checkpoints.convert import merge_params, torch_to_jax_params
 
     cfg = build_config(
         arch,

@@ -162,7 +162,6 @@ def main(argv=None):
 
     audio_dir = extract_zips(root)
     rows, tags = read_annotations(root / MTT_ANNOTATIONS)
-    build_groundtruth(rows, tags, root)
 
     mel_dir = root / "mels"
     mel_dir.mkdir(exist_ok=True)
@@ -179,6 +178,17 @@ def main(argv=None):
             done += 1
             if done % 500 == 0:
                 print(f"{done}/{len(clips)}")
+
+    # groundtruth only for clips whose mel file actually exists: MTT ships
+    # a handful of missing/corrupt mp3s and per-clip extraction failures
+    # are non-fatal above — a dangling .mmap reference would crash the
+    # training loader later (reference keeps them, datasets/mtt/preprocess.py)
+    ok_rows = [(p, labels) for p, labels in rows
+               if (mel_dir / (Path(p).stem + ".mmap")).exists()]
+    if len(ok_rows) != len(rows):
+        print(f"dropping {len(rows) - len(ok_rows)} clips without mels "
+              "from the groundtruth pickles", file=sys.stderr)
+    build_groundtruth(ok_rows, tags, root)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     action="store_false", default=True)
     ap.add_argument("--devices", type=int, default=None,
                     help="serve over an N-chip mesh (chunk-DP + head-TP)")
+    ap.add_argument("--host-mel", action="store_true",
+                    help="host-side numpy mel for non-native-length clips "
+                         "(compile-free front-end; ~1e-6 mel deltas vs the "
+                         "bit-exact jitted path)")
     ap.add_argument("--no-warmup", dest="warmup", action="store_false",
                     default=True, help="skip bucket precompilation")
     ap.add_argument("--dtype", default="bfloat16",
@@ -82,7 +86,8 @@ def make_service(args):
     )
     buckets = tuple(int(b) for b in args.buckets.split(","))
     return TagService(model, buckets=buckets, max_wait_ms=args.max_wait_ms,
-                      warmup=args.warmup, warmup_pcm16=args.warmup)
+                      warmup=args.warmup, warmup_pcm16=args.warmup,
+                      host_mel=args.host_mel)
 
 
 def make_handler(service, top_k: int):

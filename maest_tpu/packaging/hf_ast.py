@@ -121,6 +121,12 @@ def to_hf_ast_state(state: Mapping[str, np.ndarray]) -> State:
     emb = f"{_AST_PREFIX}.embeddings"
     out: State = {}
 
+    if "dist_token" not in state:
+        raise NotImplementedError(
+            "HF AST export requires a distilled model (cls + dist tokens); "
+            "this state has no dist_token — AST's embedding layout has no "
+            "non-distilled variant (reference: push_to_hub.py:78-97)"
+        )
     out[f"{emb}.cls_token"] = state["cls_token"].reshape(1, 1, -1)
     out[f"{emb}.distillation_token"] = state["dist_token"].reshape(1, 1, -1)
     tok = state["new_pos_embed"].reshape(1, -1, state["cls_token"].shape[-1])
@@ -189,13 +195,19 @@ def from_hf_ast_state(state: Mapping[str, np.ndarray], cfg: MAESTConfig) -> Stat
     pos = state[f"{emb}.position_embeddings"].astype(np.float64)  # (1, 2+F*T, E)
     ntok = cfg.num_tokens
     out["new_pos_embed"] = pos[:, :ntok].astype(np.float32)
-    grid = pos[0, ntok:]  # (F*T, E)
-    if grid.shape[0] != grid_f * grid_t:
+    grid = pos[0, ntok:]  # (F*T_src, E)
+    if grid.shape[0] % grid_f:
         raise ValueError(
-            f"pos table has {grid.shape[0]} grid entries; config grid is "
-            f"{grid_f}x{grid_t}"
+            f"pos table has {grid.shape[0]} grid entries, not divisible by "
+            f"the {grid_f}-row frequency grid (input_f/stride_f fix F; only "
+            "the time grid may differ between export and target)"
         )
-    g = grid.reshape(grid_f, grid_t, -1)  # (F, T, E)
+    # T_src may differ from the target grid (e.g. loading a 30 s hub export
+    # into a 10 s config): split at the EXPORT geometry; the loader's
+    # adapt_pos_embeds then bicubic-resizes the time table to the target,
+    # exactly as the torch-checkpoint path does (convert.py:128-162)
+    t_src = grid.shape[0] // grid_f
+    g = grid.reshape(grid_f, t_src, -1)  # (F, T_src, E)
     freq = g.mean(axis=1)  # (F, E)
     time = (g - freq[:, None]).mean(axis=0)  # (T, E)
     out["freq_new_pos_embed"] = freq.T[None, :, :, None].astype(np.float32)

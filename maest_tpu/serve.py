@@ -281,7 +281,11 @@ class DynamicBatcher:
             self._stop = True
         self._event.set()
         self._thread.join(timeout=10)
-        for p in self._queue:
+        # under the lock: a dispatcher that outlived the join timeout (e.g.
+        # mid-compile on a cold bucket) still mutates the queue
+        with self._lock:
+            pending = list(self._queue)
+        for p in pending:
             if not p.future.done():
                 p.future.set_exception(RuntimeError("batcher shut down"))
 
@@ -293,7 +297,7 @@ class DynamicBatcher:
             with self._lock:
                 if self._stop and not self._queue:
                     return
-                have = sum(p.chunks.shape[0] for p in self._queue)
+                have = sum(p.chunks.shape[0] - p.consumed for p in self._queue)
                 if not have:
                     # clear UNDER the lock: a submit() racing between an
                     # unlocked check and clear() would be lost and its
@@ -306,7 +310,7 @@ class DynamicBatcher:
                 deadline = time.monotonic() + self.max_wait_ms / 1e3
                 while time.monotonic() < deadline:
                     with self._lock:
-                        have = sum(p.chunks.shape[0] for p in self._queue)
+                        have = sum(p.chunks.shape[0] - p.consumed for p in self._queue)
                     if have >= max_batch or self._stop:
                         break
                     time.sleep(min(0.001, self.max_wait_ms / 1e3))
@@ -347,7 +351,12 @@ class DynamicBatcher:
             p.parts.append(acts[off:off + c])
             off += c
             if sum(q.shape[0] for q in p.parts) == p.chunks.shape[0]:
-                p.future.set_result(np.concatenate(p.parts))
+                # the future may already be done (client .cancel(), or
+                # close() raced in an exception after the join timeout);
+                # an unguarded set_result would raise InvalidStateError
+                # and kill the dispatcher thread for every future caller
+                if not p.future.done():
+                    p.future.set_result(np.concatenate(p.parts))
 
 
 class TagService:
@@ -361,7 +370,14 @@ class TagService:
 
     def __init__(self, model, buckets: Sequence[int] = DEFAULT_BUCKETS,
                  max_wait_ms: float = 5.0, warmup: bool = False,
-                 warmup_pcm16: bool = False):
+                 warmup_pcm16: bool = False, host_mel: bool = False):
+        # host_mel: compute the mel front-end for non-native-length clips
+        # on HOST (numpy). The jitted mel retraces per distinct waveform
+        # length (a cold compile can take minutes over a remote relay), so
+        # deployments serving many different clip lengths trade bit-exact
+        # predict_labels parity (numpy vs XLA float32 ~1e-6 mel deltas)
+        # for a compile-free front-end. Default off: bit-exact.
+        self.host_mel = host_mel
         self.model = model
         self.programs = BucketPrograms(model, buckets)
         self.wave_programs = BucketPrograms(model, buckets, fused_wave=True)
@@ -410,12 +426,30 @@ class TagService:
                 "float for arbitrary-length audio"
             )
         else:
-            mel = np.asarray(self.model.melspectrogram(wave))
-            chunks = np.asarray(
-                self.model._chunk_melspec(jnp.asarray(mel))
-            )[:, 0]  # (n, 96, img_t)
-            n_chunks = chunks.shape[0]
-            acts = self.tag_mel_chunks(chunks, timeout=timeout)
+            if self.host_mel:
+                from .dsp.mel import log_mel_spectrogram_np
+
+                mel = log_mel_spectrogram_np(wave)
+            else:
+                mel = np.asarray(self.model.melspectrogram(wave))
+            img_t = self.model.cfg.img_size[1]
+            if mel.shape[-1] < img_t:
+                # short clip: one window narrower than the model's native
+                # width — supported natively (the time pos-embed slices to
+                # the input, models/vit.py), but not by the fixed-shape
+                # bucket programs. Run it directly; like the in-process
+                # API this compiles one program per distinct short length.
+                logits = self.model(mel, melspectrogram_input=True)[0]
+                acts = np.asarray(
+                    jax.nn.sigmoid(logits.astype(jnp.float32))
+                ).mean(axis=0)
+                n_chunks = 1
+            else:
+                chunks = np.asarray(
+                    self.model._chunk_melspec(jnp.asarray(mel))
+                )[:, 0]  # (n, 96, img_t)
+                n_chunks = chunks.shape[0]
+                acts = self.tag_mel_chunks(chunks, timeout=timeout)
         self.batcher.stats.bump(
             requests=1, chunks=n_chunks,
             latency_ms=(time.monotonic() - t0) * 1e3,

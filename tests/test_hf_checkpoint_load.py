@@ -34,3 +34,43 @@ def test_hf_safetensors_roundtrip_through_get_maest(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(ref_logits), np.asarray(got_logits), rtol=2e-4, atol=2e-4
     )
+
+
+def test_hf_load_retargets_time_grid(tmp_path):
+    """Regression: loading an HF AST export into a config with a DIFFERENT
+    clip length used to hard-error on the grid-size check; it must split at
+    the export geometry and bicubic-resize the time table like the torch
+    checkpoint path (convert.py adapt_pos_embeds)."""
+    cfg = MAESTConfig(img_size=(96, 312), embed_dim=64, depth=2, num_heads=4,
+                      num_classes=400)  # 5 s export
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    save_pretrained(params, cfg, str(tmp_path / "hf"))
+
+    m = get_maest(
+        arch="discogs-maest-10s-pw-129e",  # 10 s target: time grid differs
+        pretrained=False,
+        checkpoint=str(tmp_path / "hf" / "model.safetensors"),
+        embed_dim=64, depth=2, num_heads=4,
+    )
+    t_target = (m.cfg.img_size[1] - m.cfg.patch_size) // m.cfg.stride[1] + 1
+    assert m.params["time_new_pos_embed"].shape[0] in (
+        t_target, m.cfg.grid_size[1]
+    )
+    x = np.random.default_rng(1).standard_normal((96, 622)).astype("float32")
+    logits, _ = m(x, melspectrogram_input=True)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_hf_export_requires_distilled():
+    """Non-distilled states must fail with a clear unsupported-format error
+    (AST's embedding layout has no non-distilled variant), not a KeyError."""
+    import pytest
+
+    from maest_tpu.packaging.hf_ast import jax_to_torch_state, to_hf_ast_state
+
+    cfg = MAESTConfig(img_size=(96, 312), embed_dim=64, depth=2, num_heads=4,
+                      num_classes=8, distilled=False)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    state = jax_to_torch_state(params, cfg)
+    with pytest.raises(NotImplementedError, match="dist"):
+        to_hf_ast_state(state)

@@ -346,3 +346,50 @@ def test_http_roundtrip(model):
     finally:
         server.shutdown()
         svc.close()
+
+
+def test_short_clip_matches_predict_labels(model):
+    """Regression: clips shorter than the model window used to 500 with a
+    shape error from the batcher; the model itself supports them (time
+    pos-embed slices to the input). Served result must be bit-identical to
+    predict_labels."""
+    svc = TagService(model, buckets=(1, 2), max_wait_ms=0.0)
+    try:
+        wave = _wave(0.5, seed=11)  # half the 1 s window
+        acts, labels = svc.tag(wave)
+        ref_acts, ref_labels = model.predict_labels(wave)
+        np.testing.assert_array_equal(acts, ref_acts)
+        assert labels == ref_labels
+    finally:
+        svc.close()
+
+
+def test_host_mel_close_to_predict_labels(model):
+    """--host-mel: numpy front-end for non-native lengths must track the
+    jitted path within float tolerance (compile-free trade-off)."""
+    svc = TagService(model, buckets=(1, 2, 4), max_wait_ms=0.0,
+                     host_mel=True)
+    try:
+        wave = _wave(2.5, seed=12)
+        acts, _ = svc.tag(wave)
+        ref_acts, _ = model.predict_labels(wave)
+        np.testing.assert_allclose(acts, ref_acts, rtol=1e-4, atol=1e-5)
+    finally:
+        svc.close()
+
+
+def test_cancelled_future_does_not_kill_dispatcher(model):
+    """Regression: set_result on a client-cancelled future raised
+    InvalidStateError and killed the dispatcher thread — every later
+    request then hung forever."""
+    programs = BucketPrograms(model, buckets=(1, 2))
+    batcher = DynamicBatcher(programs, max_wait_ms=0.0)
+    try:
+        mel_chunk = np.zeros((1, 96, 62), np.float32)
+        fut = batcher.submit(mel_chunk)
+        fut.cancel()  # may or may not win the race with the dispatcher
+        # the batcher must still serve subsequent requests either way
+        out = batcher.submit(mel_chunk).result(timeout=60)
+        assert out.shape == (1, 16)
+    finally:
+        batcher.close()
