@@ -237,11 +237,25 @@ def parse_override(s: str) -> tuple[list[str], object]:
 
 
 def apply_override(cfg: dict, path: list[str], value) -> None:
+    """Set ``cfg[a][b][c] = value`` for path ``[a, b, c]``.
+
+    Unknown key paths are REJECTED, as Sacred does in the reference CLI: a
+    typo'd override (``trainer.max_epoch=2``) silently creating a dead key
+    while the real setting keeps its default is the worst failure mode a
+    long training run can start with."""
     node = cfg
-    for k in path[:-1]:
-        if k not in node or not isinstance(node[k], dict):
-            node[k] = {}
+    for i, k in enumerate(path[:-1]):
+        if not isinstance(node.get(k), dict):
+            raise KeyError(
+                f"unknown config path {'.'.join(path)!r} "
+                f"({'.'.join(path[:i + 1])!r} is not a config section)"
+            )
         node = node[k]
+    if path[-1] not in node:
+        raise KeyError(
+            f"unknown config key {'.'.join(path)!r} "
+            f"(valid keys here: {sorted(node)})"
+        )
     node[path[-1]] = value
 
 

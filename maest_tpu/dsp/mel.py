@@ -105,8 +105,13 @@ def _log_mel_1d(waveform: jnp.ndarray, cfg: MelConfig, normalize: bool,
     n_fft = cfg.n_fft
     if cfg.win_length != n_fft or hop * 2 != n_fft:
         raise NotImplementedError("front-end assumes win == n_fft == 2 * hop")
-    if n < hop:
-        raise ValueError(f"waveform too short: {n} samples")
+    if n <= n_fft // 2:
+        # torch.stft(center=True, pad_mode="reflect") requires
+        # n > n_fft//2 (reflect pad of size n is undefined at n == pad);
+        # jnp.pad would silently tolerate it and diverge from the oracle
+        raise ValueError(
+            f"waveform too short: {n} samples (need > {n_fft // 2})"
+        )
 
     waveform = waveform.astype(jnp.float32)
     pad = n_fft // 2

@@ -86,12 +86,6 @@ class MAESTConfig:
     def num_tokens(self) -> int:
         return 2 if self.distilled else 1
 
-    def conv_grid(self, f: int, t: int) -> tuple[int, int]:
-        """Patch grid actually produced by the embedding conv for an input."""
-        return (
-            (f - self.patch_size) // self.stride[0] + 1,
-            (t - self.patch_size) // self.stride[1] + 1,
-        )
 
     def replace(self, **kw) -> "MAESTConfig":
         return dataclasses.replace(self, **kw)

@@ -89,6 +89,13 @@ def lighten_model(params: Params, cfg: MAESTConfig, *, cut_depth: int = 0,
     """Block removal / striding (reference: models/maest.py:1403-1438)."""
     keep = _kept_block_order(cfg.depth, cut_depth)
     if remove_n_blocks:
+        if not 0 < remove_n_blocks < len(keep):
+            # a too-large count would slice with a NEGATIVE index and
+            # silently keep most blocks instead of erroring
+            raise ValueError(
+                f"remove_n_blocks={remove_n_blocks} out of range: "
+                f"{len(keep)} blocks present"
+            )
         keep = keep[: len(keep) - remove_n_blocks]
     if not keep:
         raise ValueError("surgery removed every block")

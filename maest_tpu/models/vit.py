@@ -25,11 +25,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import MAESTConfig
+from ..utils.shapes import round_up
 
 # timm trunc_normal_(std=0.02): truncated at +-2 sigma then scaled — the same
 # construction as flax truncated_normal (reference: models/maest.py:942-976,
 # models/helpers/vit_helpers.py:110-166)
 _DENSE_INIT = nn.initializers.truncated_normal(0.02)
+# pos embeds / cls / dist use timm's std-corrected draw: flax divides by the
+# truncation correction 0.8796..., timm does not — one shared initializer so
+# the constant cannot desynchronize across the five param sites
+_POS_INIT = nn.initializers.truncated_normal(0.02 / 0.87962566103423978)
 
 # Pad-once residual stream is only a win while the extra LN/MLP row FLOPs
 # stay below the per-layer pad/slice traffic it eliminates. Measured
@@ -126,6 +131,11 @@ class Attention(nn.Module):
         )
 
         b, n, c = x.shape
+        if self.dim % self.num_heads:
+            raise ValueError(
+                f"embed_dim {self.dim} not divisible by num_heads "
+                f"{self.num_heads}"
+            )
         head_dim = self.dim // self.num_heads
         scale = head_dim**-0.5
 
@@ -141,6 +151,14 @@ class Attention(nn.Module):
         impl = self.impl
         if impl == "auto":
             impl = "flash" if (use_flash(n, head_dim) and not needs_drop) else "xla"
+        elif impl == "flash" and needs_drop:
+            # the flash kernel has no attention-matrix dropout; silently
+            # skipping the configured regularization would train a
+            # different model than the reference
+            raise ValueError(
+                "attention_impl='flash' cannot apply attn_drop_rate > 0 "
+                "in train mode; use 'auto' or 'xla'"
+            )
 
         n_real = self.n_real if self.n_real is not None else n
         if impl == "flash":
@@ -340,6 +358,18 @@ class MAESTNet(nn.Module):
                 "tap_block rides the transformer_block == -1 forward and "
                 "is exclusive with return_layer_tokens"
             )
+        # out-of-range taps used to be silently ignored (full trunk ran,
+        # return_self_attention dropped) — e.g. a lighten_model'd depth
+        # below the preset's predict.transformer_block=11
+        if not -1 <= transformer_block < cfg.depth:
+            raise ValueError(
+                f"transformer_block {transformer_block} out of range for "
+                f"depth {cfg.depth}"
+            )
+        if tap_block is not None and not 0 <= tap_block < cfg.depth:
+            raise ValueError(
+                f"tap_block {tap_block} out of range for depth {cfg.depth}"
+            )
         if forward_mode not in ("full", "front", "tail"):
             raise ValueError(f"unknown forward_mode {forward_mode!r}")
         if forward_mode != "full" and (
@@ -376,17 +406,17 @@ class MAESTNet(nn.Module):
         grid_f, grid_t = cfg.grid_size
         freq_pos = self.param(
             "freq_new_pos_embed",
-            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            _POS_INIT,
             (grid_f, cfg.embed_dim),
         )
         time_pos = self.param(
             "time_new_pos_embed",
-            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            _POS_INIT,
             (grid_t, cfg.embed_dim),
         )
         token_pos = self.param(
             "new_pos_embed",
-            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            _POS_INIT,
             (cfg.num_tokens, cfg.embed_dim),
         )
 
@@ -463,7 +493,7 @@ class MAESTNet(nn.Module):
         # --- CLS / DIST token assembly (reference: models/maest.py:785-796) ---
         cls_token = self.param(
             "cls_token",
-            nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+            _POS_INIT,
             (1, cfg.embed_dim),
         )
         cls = (cls_token + token_pos[:1]).astype(self.dtype)
@@ -471,7 +501,7 @@ class MAESTNet(nn.Module):
         if cfg.distilled:
             dist_token = self.param(
                 "dist_token",
-                nn.initializers.truncated_normal(0.02 / 0.87962566103423978),
+                _POS_INIT,
                 (1, cfg.embed_dim),
             )
             dist = (dist_token + token_pos[1:2]).astype(self.dtype)
@@ -501,7 +531,7 @@ class MAESTNet(nn.Module):
         n_tokens = x.shape[1]
         head_dim = cfg.embed_dim // cfg.num_heads
         needs_drop = cfg.attn_drop_rate > 0.0 and train
-        n_128 = -(-n_tokens // 128) * 128
+        n_128 = round_up(n_tokens, 128)
         flash_path = (cfg.attention_impl in ("auto", "flash")
                       and not needs_drop and use_flash(n_tokens, head_dim)
                       and n_128 <= _PAD_ONCE_MAX_RATIO * n_tokens)

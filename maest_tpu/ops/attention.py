@@ -109,8 +109,7 @@ def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, lse_ref=None, *, scale: float,
             lse_ref[h, 0] = lse
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from ..utils.shapes import round_up as _round_up  # shared tile math
 
 
 def _pick_block(n_pad: int, target: int) -> int:

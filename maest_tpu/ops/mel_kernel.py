@@ -33,8 +33,7 @@ from jax.experimental import pallas as pl
 from ..dsp.filterbank import dft_matrices, hann_window, mel_filterbank
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from ..utils.shapes import round_up as _round_up  # shared tile math
 
 
 def _mel_kernel(frames_ref, cosw_ref, sinw_ref, fb_ref, out_ref, *,

@@ -22,5 +22,5 @@ def count_non_zero_params(params) -> dict:
     return {
         "total": total,
         "non_zero": nonzero,
-        "sparsity": 1.0 - (nonzero / total if total else 0.0),
+        "sparsity": (1.0 - nonzero / total) if total else 0.0,
     }

@@ -111,3 +111,111 @@ def test_select_params_reports_fallback():
     params, which = select_params(state, swa=True)
     assert which == "swa"
     np.testing.assert_array_equal(params["w"], np.zeros(2))
+
+
+def test_forced_flash_with_attn_dropout_raises():
+    """impl='flash' + attn_drop_rate>0 in train mode must error, not
+    silently skip the configured attention-matrix dropout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from maest_tpu.models.config import MAESTConfig
+    from maest_tpu.models.vit import MAESTNet, init_params
+
+    cfg = MAESTConfig(
+        img_size=(26, 46), patch_size=16, stride=(10, 10), embed_dim=64,
+        depth=1, num_heads=4, num_classes=4, distilled=True,
+        attn_drop_rate=0.1, attention_impl="flash",
+    )
+    net = MAESTNet(cfg)
+    params = init_params(cfg.replace(attention_impl="xla"),
+                         jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 26, 46, 1), jnp.float32)
+    with pytest.raises(ValueError, match="flash"):
+        net.apply({"params": params}, x, train=True,
+                  rngs={"dropout": jax.random.PRNGKey(0),
+                        "patchout": jax.random.PRNGKey(1)})
+    # eval mode must pass the guard (dropout inactive); on this CPU host
+    # the forced-flash kernel itself cannot lower, which is fine — the
+    # error must NOT be the dropout guard
+    with pytest.raises(ValueError, match="interpret mode"):
+        net.apply({"params": params}, x, train=False)
+    del np  # silence unused-import lint in this CPU-only variant
+
+
+def test_transformer_block_out_of_range_raises():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from maest_tpu.models.config import MAESTConfig
+    from maest_tpu.models.vit import MAESTNet, init_params
+
+    cfg = MAESTConfig(
+        img_size=(26, 46), patch_size=16, stride=(10, 10), embed_dim=64,
+        depth=2, num_heads=4, num_classes=4, distilled=True,
+    )
+    net = MAESTNet(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 26, 46, 1), jnp.float32)
+    with pytest.raises(ValueError, match="out of range"):
+        net.apply({"params": params}, x, train=False, transformer_block=2)
+    with pytest.raises(ValueError, match="out of range"):
+        net.apply({"params": params}, x, train=False, tap_block=2)
+
+
+def test_apply_override_rejects_unknown_keys():
+    """Typo'd dotted overrides must error like Sacred, not silently create
+    a dead key while the real setting keeps its default."""
+    import pytest
+
+    from maest_tpu.configs import apply_override, default_config
+
+    cfg = default_config()
+    apply_override(cfg, ["trainer", "max_epochs"], 2)  # valid
+    assert cfg["trainer"]["max_epochs"] == 2
+    with pytest.raises(KeyError, match="max_epoch"):
+        apply_override(cfg, ["trainer", "max_epoch"], 2)
+    with pytest.raises(KeyError, match="trainerr"):
+        apply_override(cfg, ["trainerr", "max_epochs"], 2)
+
+
+def test_mel_too_short_guard():
+    """n in (hop, n_fft//2] used to pass the guard and silently diverge
+    from torch.stft's reflect-pad contract."""
+    import jax.numpy as jnp
+    import pytest
+
+    from maest_tpu.dsp.mel import log_mel_spectrogram
+
+    with pytest.raises(ValueError, match="too short"):
+        log_mel_spectrogram(jnp.zeros(256, jnp.float32))
+    out = log_mel_spectrogram(jnp.zeros(257, jnp.float32))
+    assert out.shape[0] == 96
+
+
+def test_surgery_remove_too_many_blocks_raises():
+    import jax
+    import pytest
+
+    from maest_tpu.models.config import MAESTConfig
+    from maest_tpu.models.surgery import lighten_model
+    from maest_tpu.models.vit import init_params
+
+    cfg = MAESTConfig(
+        img_size=(26, 46), patch_size=16, stride=(10, 10), embed_dim=64,
+        depth=4, num_heads=4, num_classes=4, distilled=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="remove_n_blocks"):
+        lighten_model(params, cfg, remove_n_blocks=5)
+    out, cfg2 = lighten_model(params, cfg, remove_n_blocks=2)
+    assert cfg2.depth == 2
+
+
+def test_count_non_zero_params_empty():
+    from maest_tpu.utils.params import count_non_zero_params
+
+    assert count_non_zero_params({})["sparsity"] == 0.0
