@@ -68,11 +68,6 @@ def main():
     batch = 32
 
     @jax.jit
-    def forward(params, x):
-        logits, _ = net.apply({"params": params}, x[..., None], train=False)
-        return logits
-
-    @jax.jit
     def forward_chained(params, x, x0):
         """One timed step: forward + build the next (input-dependent) input
         entirely on device — host-side eager ops would add ~10 ms/step of
@@ -86,15 +81,13 @@ def main():
         rng.standard_normal((batch, 96, 1875), dtype=np.float32), jnp.bfloat16
     )
 
-    # warmup + sanity: outputs must be finite and input-dependent
-    out = np.asarray(forward(params, x), np.float32)
+    # warmup + sanity on the ONE timed program (a separate sanity-only jit
+    # would cost a second multi-minute remote compile): outputs must be
+    # finite and input-dependent
+    out = np.asarray(forward_chained(params, x, x)[0], np.float32)
     assert np.isfinite(out).all()
-    out2 = np.asarray(forward(params, x * 1.5), np.float32)
+    out2 = np.asarray(forward_chained(params, x * 1.5, x)[0], np.float32)
     assert not np.allclose(out, out2)
-
-    # warm the chained program too
-    logits, o = forward_chained(params, x, x)
-    _ = float(logits[0, 0])
 
     iters = 30
     t0 = time.perf_counter()

@@ -45,6 +45,17 @@ def weighted_epoch_indices(
     rng = np.random.default_rng(seed + epoch)
     w = np.asarray(weights, dtype=np.float64)
     n = len(w)
+    if not replacement and epoch_len > n:
+        # torch's WeightedRandomSampler would raise here; we fall back to
+        # with-replacement (small/debug datasets) but LOUDLY — duplicate
+        # samples change the training statistics vs the documented
+        # without-replacement semantics
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "epoch_len %d > dataset size %d: sampling WITH replacement "
+            "despite sampler_replace=False", epoch_len, n,
+        )
     if replacement or epoch_len > n:
         p = w / w.sum()
         idx = rng.choice(n, size=epoch_len, replace=True, p=p)

@@ -41,11 +41,17 @@ def _compile() -> Optional[Path]:
     so = _build_dir() / "libmel_loader.so"
     if so.exists() and so.stat().st_mtime >= _SRC.stat().st_mtime:
         return so
+    # compile to a private name and rename into place: a concurrent
+    # process (multi-process launch, train + serve) must never dlopen a
+    # half-written .so
+    tmp = so.with_suffix(f".tmp{os.getpid()}.so")
     cmd = [gxx, "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(so), str(_SRC), "-lpthread"]
+           "-o", str(tmp), str(_SRC), "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-    except subprocess.CalledProcessError:
+        os.replace(tmp, so)
+    except (subprocess.CalledProcessError, OSError):
+        tmp.unlink(missing_ok=True)
         return None
     return so
 
@@ -115,8 +121,10 @@ def load_batch(paths: Sequence[str], offsets: Sequence[int],
                threads: int = 8) -> np.ndarray:
     """Threaded batch read -> ``(len(paths), chunk_frames, n_bands)`` f16.
 
-    Failed rows come back zeroed (loader resilience mirrors the reference's
-    log-and-continue on read failure, discogs/dataset.py:112-117).
+    Raises on any failed row, as the reference loader does
+    (discogs/dataset.py:112-117, log-and-raise) and as this module's
+    per-item path does (FileNotFoundError) — a silently zeroed
+    spectrogram with a real label is a poisoned training sample.
     """
     lib = _load()
     if lib is None:
@@ -126,8 +134,13 @@ def load_batch(paths: Sequence[str], offsets: Sequence[int],
     out = np.empty((n, chunk_frames, n_bands), dtype=np.float16)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
     c_offs = (ctypes.c_int64 * n)(*[int(o) for o in offsets])
-    lib.mel_load_batch(
+    failures = lib.mel_load_batch(
         c_paths, c_offs, n, int(chunk_frames), int(n_bands), int(threads),
         out.ctypes.data_as(ctypes.c_void_p),
     )
+    if failures:
+        raise RuntimeError(
+            f"native loader failed to read {failures} of {n} chunks "
+            "(missing/corrupt mel files?)"
+        )
     return out

@@ -33,6 +33,15 @@ def init_distributed(coordinator_address: Optional[str] = None,
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
+    if coordinator_address is None and (
+        num_processes is not None or process_id is not None
+    ) and not os.environ.get("TPU_WORKER_HOSTNAMES"):
+        # fail fast: silently skipping initialize() here would let every
+        # host train as an independent single-process run
+        raise ValueError(
+            "init_distributed(num_processes/process_id) requires a "
+            "coordinator_address (or JAX_COORDINATOR_ADDRESS)"
+        )
     if coordinator_address or os.environ.get("TPU_WORKER_HOSTNAMES"):
         kw = {}
         if coordinator_address:
@@ -149,15 +158,20 @@ def ensure_on_mesh(tree, mesh: Mesh):
     return jax.tree.map(fix, tree)
 
 
-def param_shardings(params, mesh: Mesh, *, fsdp: bool = False):
-    """Matching pytree of NamedShardings (for jit in/out shardings)."""
+def param_shardings(params, mesh: Mesh, *, fsdp: bool = False,
+                    tensor_parallel: bool = True):
+    """Matching pytree of NamedShardings (for jit in/out shardings).
+
+    Pass the SAME flags as the ``shard_params`` call that placed the
+    params — mixed flags silently reshard every step."""
     import flax
 
     fsdp_shards = mesh.shape["data"] if fsdp else 1
     flat = flax.traverse_util.flatten_dict(params)
     out = {
         path: NamedSharding(
-            mesh, param_spec(path, np.shape(leaf), fsdp_shards=fsdp_shards)
+            mesh, param_spec(path, np.shape(leaf), fsdp_shards=fsdp_shards,
+                             tensor_parallel=tensor_parallel)
         )
         for path, leaf in flat.items()
     }

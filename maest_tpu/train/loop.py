@@ -198,7 +198,9 @@ class Trainer:
                     params = jax.device_put(params, replicated(self.mesh))
             else:
                 params = shard_params(params, self.mesh, fsdp=self.fsdp)
-            self.state = TrainState.create(params, self.tx)
+            self.state = TrainState.create(
+                params, self.tx, with_swa=cfg["module"]["do_swa"]
+            )
             # scalars/opt counters must live on the mesh, not device 0
             from ..parallel.mesh import ensure_on_mesh
 
@@ -340,9 +342,13 @@ class Trainer:
         # directory name and the marker) never sees a half-written save —
         # and a fully committed save is usable immediately even if the
         # process is later SIGKILLed before any finalize runs
-        (self.run_dir / "checkpoints" / f"{tag}.meta.json").write_text(
-            json.dumps({"epoch": self.epoch})
-        )
+        # atomic (tmp + rename): a SIGKILL between truncate and write must
+        # not leave a corrupt marker that crashes elastic recovery's
+        # latest_checkpoint scan forever
+        meta = self.run_dir / "checkpoints" / f"{tag}.meta.json"
+        tmp = meta.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({"epoch": self.epoch}))
+        tmp.replace(meta)
 
     def restore_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
@@ -650,7 +656,9 @@ def model_speed_test(cfg: dict, batch_size: int = 100, test_length: int = 100
     tx = make_optimizer(lr_schedule=1e-3, adamw=False)
     aug = _augment_config(cfg)
     step = make_train_step(net, tx, aug)
-    state = TrainState.create(wrapper.params, tx)
+    # no SWA buffer: the reference speed test carries none either, and the
+    # copy would understate the batch-size headroom being measured
+    state = TrainState.create(wrapper.params, tx, with_swa=False)
 
     f, t = wrapper.cfg.img_size
     nc = wrapper.cfg.num_classes

@@ -90,7 +90,12 @@ def latest_checkpoint(run_dir) -> Optional[str]:
         meta = ckpt_dir / f"{p.name}.meta.json"
         if not meta.exists():
             continue  # interrupted save
-        epoch = json.loads(meta.read_text()).get("epoch", -1)
+        try:
+            epoch = json.loads(meta.read_text()).get("epoch", -1)
+        except (json.JSONDecodeError, OSError):
+            # a corrupt marker (pre-atomic-write saves, disk truncation)
+            # means "unusable checkpoint", not "abort recovery forever"
+            continue
         if epoch > best_epoch:
             best_epoch, best_path = epoch, p
     if best_path is None and (ckpt_dir / "best").is_dir():

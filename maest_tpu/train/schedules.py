@@ -59,7 +59,10 @@ def cosine_cycle(cycle_len: int = 20, ramp_down_start: int = 100,
     ramp_down_start = cycle_len + (ramp_down_start - 1) // cycle_len * cycle_len
 
     def f(epoch):
-        ep = (epoch + cycle_len / 2.0) / (1.0 * cycle_len)
+        # floor division, as the reference: for odd cycle lengths
+        # (epoch + len/2) shifts the cosine phase and changes the LR at
+        # EVERY epoch (10x at epoch 0 for the default warm_up_len=5)
+        ep = (epoch + cycle_len // 2.0) / (1.0 * cycle_len)
         if epoch > ramp_down_start:
             return float(last_lr_value)
         return float(

@@ -101,3 +101,40 @@ def test_schedule_epoch_rate_with_non_divisible_accum():
     assert float(sched(4)) == float(by_epoch(1))
     assert float(sched(5)) == float(by_epoch(2))
     assert float(by_epoch(1)) != float(by_epoch(2))
+
+
+def test_cosine_cycle_matches_reference_for_odd_cycle():
+    """Regression: / 2.0 instead of the reference's // 2.0 phase offset
+    (helpers/ramp.py:124-137) shifted the cosine by half an epoch for odd
+    cycle lengths — 10x the LR at epoch 0 for the default warm_up_len=5."""
+    from maest_tpu.train.schedules import cosine_cycle
+
+    lam = cosine_cycle(cycle_len=5, ramp_down_start=100, last_lr_value=0.01)
+
+    def ref(epoch, cycle_len=5, ramp_down_start=100, last_lr_value=0.01):
+        import numpy as np
+        ramp_down_start = cycle_len + (
+            (ramp_down_start - 1) // cycle_len * cycle_len)
+        ep = (epoch + cycle_len // 2.0) / (1.0 * cycle_len)
+        if epoch > ramp_down_start:
+            return last_lr_value
+        return last_lr_value + (1.0 - last_lr_value) * 0.5 * (
+            np.cos(2.0 * np.pi * ep) + 1)
+
+    for e in range(0, 120, 7):
+        assert abs(lam(e) - ref(e)) < 1e-12, e
+    # the old bug: epoch 0 multiplier was last_lr_value (cos at trough)
+    assert lam(0) > 0.05
+
+
+def test_train_state_without_swa_has_no_buffer():
+    import jax
+
+    from maest_tpu.train.state import TrainState, make_optimizer
+
+    tx = make_optimizer(lr_schedule=1e-3)
+    params = {"w": jax.numpy.ones((4, 4))}
+    st = TrainState.create(params, tx, with_swa=False)
+    assert st.swa_params == {}
+    st2 = TrainState.create(params, tx)
+    assert st2.swa_params["w"].shape == (4, 4)

@@ -231,3 +231,25 @@ def test_api_inference_on_mesh_matches_single_device():
     wave = rng.standard_normal(2 * 16000 // 16).astype(np.float32)
     acts, labels = sharded.predict_labels(wave)
     assert acts.shape == (16,) and np.isfinite(acts).all()
+
+
+def test_param_shardings_match_shard_params_flags():
+    """param_shardings must be able to express the pipeline/FSDP at-rest
+    layout (tensor_parallel=False) — mismatched specs silently reshard
+    every step."""
+    from maest_tpu.parallel.mesh import param_spec
+
+    shape = (64, 192)
+    path = ("blocks_0", "attn", "qkv", "kernel")
+    assert param_spec(path, shape, fsdp_shards=4) == P("data", "model")
+    assert param_spec(path, shape, fsdp_shards=4,
+                      tensor_parallel=False) == P(None, "data")
+
+
+def test_init_distributed_requires_coordinator():
+    import pytest
+
+    from maest_tpu.parallel.mesh import init_distributed
+
+    with pytest.raises(ValueError, match="coordinator"):
+        init_distributed(num_processes=4, process_id=1)

@@ -66,12 +66,11 @@ def test_load_chunk_matches_python_path(mel_file, tmp_path):
 
 def test_load_batch_threads(mel_file, tmp_path):
     path, mel = mel_file
-    paths = [str(path)] * 7 + [str(tmp_path / "missing.mmap")]
+    paths = [str(path)] * 8
     offsets = [0, 10, 20, 30, 40, 400, 499, 0]
     out = native.load_batch(paths, offsets, 128, threads=4)
     assert out.shape == (8, 128, 96)
     np.testing.assert_array_equal(out[1], mel[10:138])
-    assert not out[7].any()  # missing file -> zeroed row
 
 
 def test_batchloader_native_fast_path(tmp_path):
@@ -100,3 +99,19 @@ def test_batchloader_native_fast_path(tmp_path):
         np.testing.assert_array_equal(fb["x"], sb["x"])
         np.testing.assert_array_equal(fb["y"], sb["y"])
         assert fb["filename"] == sb["filename"]
+
+
+def test_load_batch_raises_on_missing_file(mel_file, tmp_path):
+    """Regression: the C failure counter was discarded, so a missing mel
+    file fed a silent all-zero spectrogram with a real label into training
+    (reference raises, discogs/dataset.py:112-117)."""
+    import pytest
+
+    from maest_tpu import native
+
+    if not native.available():
+        pytest.skip("no compiler")
+    path, _ = mel_file
+    with pytest.raises(RuntimeError, match="failed to read 1 of 2"):
+        native.load_batch([str(path), str(tmp_path / "missing.mmap")],
+                          [0, 0], 50, 96)

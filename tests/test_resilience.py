@@ -173,3 +173,20 @@ def test_restart_budget_exhaustion(corpus, tmp_path):
         fit_with_recovery(_config(corpus, tmp_path),
                           trainer_factory=factory, backoff_s=0.0,
                           max_restarts=1)
+
+
+def test_latest_checkpoint_skips_corrupt_meta(tmp_path):
+    """Regression: a truncated meta.json (pre-atomic-write saves, disk
+    truncation) crashed latest_checkpoint with JSONDecodeError inside the
+    recovery handler, permanently aborting elastic recovery."""
+    import json
+
+    from maest_tpu.train.resilience import latest_checkpoint
+
+    ckpts = tmp_path / "checkpoints"
+    for tag, epoch in (("epoch-0", 0), ("epoch-1", 1)):
+        (ckpts / tag).mkdir(parents=True)
+        (ckpts / f"{tag}.meta.json").write_text(json.dumps({"epoch": epoch}))
+    (ckpts / "epoch-2").mkdir()
+    (ckpts / "epoch-2.meta.json").write_text("")  # truncated by a SIGKILL
+    assert latest_checkpoint(tmp_path).endswith("epoch-1")
