@@ -246,10 +246,14 @@ def test_param_shardings_match_shard_params_flags():
                       tensor_parallel=False) == P(None, "data")
 
 
-def test_init_distributed_requires_coordinator():
+def test_init_distributed_requires_coordinator(monkeypatch):
     import pytest
 
     from maest_tpu.parallel.mesh import init_distributed
 
+    # hermetic: other tests (resilience reinit) may leave coordinator env
+    # vars behind, which would legitimately route past the guard
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
     with pytest.raises(ValueError, match="coordinator"):
         init_distributed(num_processes=4, process_id=1)
