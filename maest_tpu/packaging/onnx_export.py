@@ -110,23 +110,23 @@ def _build_torch_model(params, cfg: MAESTConfig):
     m = TorchMAEST().eval()
     with torch.no_grad():
         m.conv.weight.copy_(torch.from_numpy(
-            np.ascontiguousarray(sd["patch_embed.proj.weight"], np.float32)))
+            np.array(sd["patch_embed.proj.weight"], np.float32)))
         m.conv.bias.copy_(torch.from_numpy(
-            np.asarray(sd["patch_embed.proj.bias"], np.float32)))
-        m.cls_token.copy_(torch.from_numpy(np.asarray(sd["cls_token"], np.float32)))
-        m.dist_token.copy_(torch.from_numpy(np.asarray(sd["dist_token"], np.float32)))
+            np.array(sd["patch_embed.proj.bias"], np.float32)))
+        m.cls_token.copy_(torch.from_numpy(np.array(sd["cls_token"], np.float32)))
+        m.dist_token.copy_(torch.from_numpy(np.array(sd["dist_token"], np.float32)))
         m.new_pos_embed.copy_(torch.from_numpy(
-            np.asarray(sd["new_pos_embed"], np.float32)))
+            np.array(sd["new_pos_embed"], np.float32)))
         m.freq_pos.copy_(torch.from_numpy(
-            np.ascontiguousarray(sd["freq_new_pos_embed"], np.float32)))
+            np.array(sd["freq_new_pos_embed"], np.float32)))
         m.time_pos.copy_(torch.from_numpy(
-            np.ascontiguousarray(sd["time_new_pos_embed"], np.float32)))
+            np.array(sd["time_new_pos_embed"], np.float32)))
         for i, blk in enumerate(m.blocks):
             p = f"blocks.{i}"
 
             def cp(dst, key):
                 dst.copy_(torch.from_numpy(
-                    np.ascontiguousarray(sd[key], np.float32)))
+                    np.array(sd[key], np.float32)))
 
             cp(blk.norm1.weight, f"{p}.norm1.weight")
             cp(blk.norm1.bias, f"{p}.norm1.bias")
@@ -141,16 +141,16 @@ def _build_torch_model(params, cfg: MAESTConfig):
             cp(blk.fc1.bias, f"{p}.mlp.fc1.bias")
             cp(blk.fc2.weight, f"{p}.mlp.fc2.weight")
             cp(blk.fc2.bias, f"{p}.mlp.fc2.bias")
-        m.norm.weight.copy_(torch.from_numpy(np.asarray(sd["norm.weight"], np.float32)))
-        m.norm.bias.copy_(torch.from_numpy(np.asarray(sd["norm.bias"], np.float32)))
+        m.norm.weight.copy_(torch.from_numpy(np.array(sd["norm.weight"], np.float32)))
+        m.norm.bias.copy_(torch.from_numpy(np.array(sd["norm.bias"], np.float32)))
         m.head_norm.weight.copy_(torch.from_numpy(
-            np.asarray(sd["head.0.weight"], np.float32)))
+            np.array(sd["head.0.weight"], np.float32)))
         m.head_norm.bias.copy_(torch.from_numpy(
-            np.asarray(sd["head.0.bias"], np.float32)))
+            np.array(sd["head.0.bias"], np.float32)))
         m.head_linear.weight.copy_(torch.from_numpy(
-            np.asarray(sd["head.1.weight"], np.float32)))
+            np.array(sd["head.1.weight"], np.float32)))
         m.head_linear.bias.copy_(torch.from_numpy(
-            np.asarray(sd["head.1.bias"], np.float32)))
+            np.array(sd["head.1.bias"], np.float32)))
     return m
 
 
