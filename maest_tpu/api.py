@@ -225,8 +225,10 @@ def get_maest(
 
     Equivalent of the reference factory (reference: models/maest.py:1467-1569).
     With ``pretrained=True`` the released checkpoint is read from the local
-    cache directory (no network in this environment); ``checkpoint=`` loads an
-    explicit ``.ckpt``/``.pt``/``.safetensors`` file.
+    cache directory, auto-downloading it on first use like the reference
+    (timm load_pretrained, vit_helpers.py:261; set ``MAEST_TPU_OFFLINE=1``
+    to disable); ``checkpoint=`` loads an explicit
+    ``.ckpt``/``.pt``/``.safetensors`` file.
     """
     from .checkpoints.convert import merge_params, torch_to_jax_params
 
@@ -256,10 +258,20 @@ def get_maest(
     if pretrained:
         path = cached_checkpoint_path(ARCHS[arch])
         if not path.exists():
-            raise FileNotFoundError(
-                f"pretrained weights for {arch} not found at {path}; download "
-                f"{ARCHS[arch].url} into the cache dir (or set MAEST_TPU_CACHE)."
-            )
+            # Reference behavior: weights are fetched on first use (timm
+            # load_pretrained, vit_helpers.py:261). MAEST_TPU_OFFLINE=1
+            # skips the attempt.
+            from .checkpoints.fetch import FetchError, fetch_checkpoint
+
+            try:
+                fetch_checkpoint(ARCHS[arch])
+            except FetchError as err:
+                raise FileNotFoundError(
+                    f"pretrained weights for {arch} not found at {path} and "
+                    f"auto-download did not succeed ({err}). Download "
+                    f"{ARCHS[arch].url} into the cache dir (or set "
+                    f"MAEST_TPU_CACHE)."
+                ) from err
         state = _normalize_state(_load_any(str(path)), cfg, swa_weights=True)
         loaded = torch_to_jax_params(state, cfg)
         params = merge_params(params, loaded)

@@ -7,10 +7,13 @@ from .convert import (
     strip_prefix,
     torch_to_jax_params,
 )
+from .fetch import FetchError, fetch_checkpoint
 
 __all__ = [
+    "FetchError",
     "adapt_pos_embeds",
     "bicubic_resize_2d",
+    "fetch_checkpoint",
     "load_safetensors",
     "load_torch_checkpoint",
     "merge_params",

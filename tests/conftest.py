@@ -7,6 +7,11 @@ see SURVEY.md §4). Environment must be set before jax is imported.
 
 import os
 
+# Never attempt a checkpoint download from inside the suite (no egress
+# here; tests that exercise fetching monkeypatch this off and use
+# file:// URLs).
+os.environ.setdefault("MAEST_TPU_OFFLINE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -37,14 +37,14 @@ def cache(tmp_path, monkeypatch):
     # layout 1: release-style Lightning checkpoint (net_swa. prefixes)
     torch.save(
         {"state_dict": {
-            "net_swa." + k: torch.from_numpy(np.ascontiguousarray(v))
+            "net_swa." + k: torch.from_numpy(np.array(v))
             for k, v in state.items()
         }},
         cached_checkpoint_path(ARCHS[ARCH]),
     )
     # layout 2: plain torch state dict
     torch.save(
-        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()},
+        {k: torch.from_numpy(np.array(v)) for k, v in state.items()},
         tmp_path / f"{ARCH}_plain.pt",
     )
     # layout 3: HF-AST safetensors snapshot dir
