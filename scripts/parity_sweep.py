@@ -175,9 +175,24 @@ def main(argv=None) -> int:
                          "value range, which misreads all-[0,1] logits)")
     ap.add_argument("--tol", type=float, default=1e-3)
     ap.add_argument("--out", default="parity_report.json")
+    ap.add_argument("--fetch", action="store_true",
+                    help="download missing release checkpoints into the "
+                         "cache first (checkpoints/fetch.py; needs egress)")
     args = ap.parse_args(argv)
 
     cache = Path(args.cache_dir) if args.cache_dir else cache_dir()
+    if args.fetch:
+        from maest_tpu.checkpoints.fetch import FetchError, fetch_checkpoint
+        from maest_tpu.models.registry import ARCHS, cached_checkpoint_path
+
+        for arch in args.archs.split(","):
+            dest = cached_checkpoint_path(ARCHS[arch])
+            if args.cache_dir:
+                dest = cache / dest.name
+            try:
+                fetch_checkpoint(ARCHS[arch], dest=dest)
+            except FetchError as e:
+                print(f"{arch}: fetch failed ({e}); will report as missing")
     expect = dict(np.load(args.expect)) if args.expect else None
     report = run_sweep(cache, args.archs.split(","), args.tol, expect,
                        expect_kind=args.expect_kind)

@@ -108,6 +108,28 @@ def test_get_maest_offline_error_mentions_url(file_spec, monkeypatch):
         get_maest(arch=ARCH, pretrained=True, **GEOM)
 
 
+def test_parity_sweep_fetch_flag_tolerates_failures(tmp_path, monkeypatch,
+                                                    capsys):
+    # `parity_sweep --fetch` must keep sweeping when a download fails
+    # (reports the arch as missing, rc 0 — absent weights are not a failure).
+    import sys as _sys
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from parity_sweep import main
+
+    monkeypatch.delenv("MAEST_TPU_OFFLINE", raising=False)
+    arch = "discogs-maest-10s-pw-129e"
+    monkeypatch.setitem(
+        ARCHS, arch,
+        dataclasses.replace(ARCHS[arch], url="file:///nonexistent/x.ckpt"))
+    out = tmp_path / "report.json"
+    rc = main(["--cache-dir", str(tmp_path), "--archs", arch,
+               "--out", str(out), "--fetch"])
+    assert rc == 0
+    assert "fetch failed" in capsys.readouterr().out
+    import json
+    assert json.loads(out.read_text())["archs"][arch]["status"] == "missing"
+
+
 def test_real_specs_keep_release_urls():
     # The registry must keep pointing at the published release files
     # (reference URL table models/maest.py:64-153).
