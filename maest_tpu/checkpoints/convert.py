@@ -282,7 +282,21 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch ``.ckpt``/``.pt`` file into a numpy state dict."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        # Prefer the restricted unpickler: checkpoint files can arrive via
+        # auto-download (checkpoints/fetch.py), and a full unpickle executes
+        # arbitrary code. Plain state-dict and DeiT release files load fine
+        # this way; only Lightning ckpts carrying exotic hparams objects fall
+        # through to the legacy loader below.
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "weights_only torch.load failed for %s; falling back to the "
+            "full unpickler (arbitrary-code-execution risk for untrusted "
+            "files)", path)
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
     if isinstance(obj, dict) and "model" in obj and all(

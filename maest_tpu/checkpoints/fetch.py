@@ -14,8 +14,11 @@ or drop the files into ``MAEST_TPU_CACHE`` yourself.
 
 from __future__ import annotations
 
+import hashlib
+import http.client
 import os
 import shutil
+import tempfile
 import urllib.error
 import urllib.request
 from pathlib import Path
@@ -50,14 +53,49 @@ def fetch_checkpoint(spec: ArchSpec, dest: str | os.PathLike | None = None,
         raise FetchError(
             f"MAEST_TPU_OFFLINE is set; not downloading {spec.url}")
     dest.parent.mkdir(parents=True, exist_ok=True)
-    tmp = dest.with_name(dest.name + f".tmp.{os.getpid()}")
+    # Unique staging file per fetch (tempfile, not PID): two threads in one
+    # process fetching the same arch must not interleave bytes in a shared
+    # .tmp file before os.replace commits it.
+    fd, tmp_name = tempfile.mkstemp(
+        prefix=dest.name + ".tmp.", dir=dest.parent)
+    tmp = Path(tmp_name)
     try:
+        digest = hashlib.sha256()
         with urllib.request.urlopen(spec.url, timeout=timeout) as resp, \
-                open(tmp, "wb") as out:
-            shutil.copyfileobj(resp, out, length=1 << 20)
+                os.fdopen(fd, "wb") as out:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                digest.update(chunk)
+                out.write(chunk)
+        _verify_digest(spec, digest.hexdigest())
         os.replace(tmp, dest)
-    except (urllib.error.URLError, TimeoutError, OSError) as err:
+    except (urllib.error.URLError, TimeoutError, OSError,
+            http.client.HTTPException) as err:
+        # http.client.HTTPException (e.g. IncompleteRead on a truncated
+        # download) is not an OSError subclass; without it here the caller's
+        # friendly FileNotFoundError wrapper is bypassed.
         raise FetchError(f"failed to download {spec.url}: {err}") from err
     finally:
         tmp.unlink(missing_ok=True)
     return dest
+
+
+def _verify_digest(spec: ArchSpec, got: str) -> None:
+    """Check the downloaded bytes against ``spec.sha256`` when pinned.
+
+    The fetched file is later deserialized by ``torch.load`` — an unpickle
+    that can execute arbitrary code — so an implicit network fetch must be
+    integrity-checked before it is committed to the cache. Digests are
+    pinned per arch in the registry; ``None`` means no pin is available
+    (this build environment has no egress to compute them), in which case
+    the fetch proceeds but the mismatch guard below still protects every
+    pinned arch.
+    """
+    expected = getattr(spec, "sha256", None)
+    if expected is not None and got != expected.lower():
+        raise FetchError(
+            f"checkpoint digest mismatch for {spec.name}: expected sha256 "
+            f"{expected}, downloaded file hashes to {got}; refusing to "
+            f"commit it to the cache")

@@ -27,6 +27,12 @@ class ArchSpec:
     mean: float = 2.06755686098554
     std: float = 1.268292820667291
     kind: str = "maest"  # "maest" | "imagenet" (joint pos-embed source)
+    # Expected SHA256 of the released checkpoint file, verified by
+    # checkpoints/fetch.py before an auto-download is committed to the
+    # cache (the file is later torch.load-unpickled, so integrity matters).
+    # None = no pin available: this build environment has no egress, so the
+    # release digests could not be computed here; pin them when publishing.
+    sha256: str | None = None
 
 
 _REL = "https://github.com/palonso/MAEST/releases/download/v0.0.0-beta"

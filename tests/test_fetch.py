@@ -130,6 +130,53 @@ def test_parity_sweep_fetch_flag_tolerates_failures(tmp_path, monkeypatch,
     assert json.loads(out.read_text())["archs"][arch]["status"] == "missing"
 
 
+def test_digest_mismatch_refuses_commit(file_spec):
+    # An integrity pin that doesn't match the downloaded bytes must abort
+    # the fetch BEFORE the file is committed (it feeds torch.load later).
+    pinned = dataclasses.replace(file_spec, sha256="0" * 64)
+    with pytest.raises(FetchError, match="digest mismatch"):
+        fetch_checkpoint(pinned)
+    dest = cached_checkpoint_path(pinned)
+    assert not dest.exists()
+    assert list(dest.parent.glob("*")) == []
+
+
+def test_digest_match_commits(file_spec):
+    import hashlib
+    from urllib.request import url2pathname
+    from urllib.parse import urlparse
+
+    src = Path(url2pathname(urlparse(file_spec.url).path))
+    digest = hashlib.sha256(src.read_bytes()).hexdigest()
+    pinned = dataclasses.replace(file_spec, sha256=digest.upper())
+    assert fetch_checkpoint(pinned).exists()
+
+
+def test_truncated_download_raises_fetch_error(file_spec, monkeypatch):
+    # http.client.IncompleteRead is an HTTPException, not an OSError; it must
+    # still surface as FetchError so get_maest's friendly wrapper applies.
+    import http.client
+    import urllib.request
+
+    class _TruncatedResp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self, n=-1):
+            raise http.client.IncompleteRead(b"partial")
+
+    monkeypatch.setattr(urllib.request, "urlopen",
+                        lambda *a, **k: _TruncatedResp())
+    with pytest.raises(FetchError, match="failed to download"):
+        fetch_checkpoint(file_spec)
+    dest = cached_checkpoint_path(file_spec)
+    assert not dest.exists()
+    assert list(dest.parent.glob("*")) == []
+
+
 def test_real_specs_keep_release_urls():
     # The registry must keep pointing at the published release files
     # (reference URL table models/maest.py:64-153).
