@@ -123,8 +123,13 @@ def default_config() -> dict:
         "module": {
             "do_swa": True,
             "swa_epoch_start": 50,
+            # SWA-phase LR: Lightning swaps the scheduler for torch SWALR
+            # annealing to this value (reference: models/module.py:26,
+            # 268-273); consumed by Trainer -> make_schedule(swa_lr=...).
+            # The reference also has `swa_freq = 5` — dead there too
+            # (nothing reads it, Lightning's SWA has no such knob); we
+            # reject it instead of carrying a key no code path reads.
             "swa_lrs": 2e-5,
-            "swa_freq": 5,
             "mixup_alpha": 0.3,
             "optimizer": {
                 "lr": 0.00002,
@@ -252,11 +257,28 @@ def apply_override(cfg: dict, path: list[str], value) -> None:
             )
         node = node[k]
     if path[-1] not in node:
+        removed = _REMOVED_KEYS.get(".".join(path))
+        if removed:
+            raise KeyError(f"config key {'.'.join(path)!r} is not supported: "
+                           f"{removed}")
         raise KeyError(
             f"unknown config key {'.'.join(path)!r} "
             f"(valid keys here: {sorted(node)})"
         )
     node[path[-1]] = value
+
+
+# Keys that exist in the reference config surface but that no code path
+# reads — there OR here. Rejected with a pointer rather than silently
+# accepted (see apply_override's docstring for why).
+_REMOVED_KEYS = {
+    "module.swa_freq": (
+        "dead in the reference too (models/module.py:27 sets it; nothing "
+        "consumes it — Lightning's StochasticWeightAveraging has no "
+        "frequency knob). SWA updates run every epoch from "
+        "module.swa_epoch_start."
+    ),
+}
 
 
 def build_experiment_config(presets: Iterable[str] = (),

@@ -52,12 +52,16 @@ def mixup(key: jax.Array, x: jnp.ndarray, targets: tuple[jnp.ndarray, ...],
 
 
 def _axis_masks(key: jax.Array, b: int, axis_len: int, n_masks: int,
-                max_width: int, p: float) -> jnp.ndarray:
-    """Boolean keep-mask (B, axis_len) after ``n_masks`` iid random masks.
+                max_width: int, p: float, iid: bool = True) -> jnp.ndarray:
+    """Boolean keep-mask (B, axis_len) after ``n_masks`` random masks.
 
     torchaudio semantics (TimeMasking/FrequencyMasking): width ~ U[0, W),
     additionally capped at p * axis_len for time masks; start ~ U[0, L - width].
+    ``iid=False`` = torchaudio ``iid_masks=False``: ONE width/start per mask
+    shared by the whole batch (returned with B=1, broadcast by the caller).
     """
+    if not iid:
+        b = 1
     k_w, k_s = jax.random.split(key)
     cap = jnp.floor(p * axis_len) if p < 1.0 else float(axis_len)
     widths = jax.random.uniform(k_w, (n_masks, b)) * jnp.minimum(
@@ -82,17 +86,21 @@ def spec_augment(
     time_masks: int = 20,
     freq_masks: int = 8,
     mask_value: float = 0.0,
+    iid_masks: bool = True,
 ) -> jnp.ndarray:
     """SpecAugment with torchaudio-equivalent mask statistics
     (reference: helpers/spec_masking.py:4-33; defaults from
-    discogs/datamodule.py:55-63)."""
+    discogs/datamodule.py:55-63, including ``iid_masks``: False shares each
+    mask across the batch, as torchaudio's batched 4-D path does)."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[..., None]
     b, f, t, _ = x.shape
     k_t, k_f = jax.random.split(key)
-    keep_t = _axis_masks(k_t, b, t, time_masks, time_mask_param, p)
-    keep_f = _axis_masks(k_f, b, f, freq_masks, freq_mask_param, 1.0)
+    keep_t = _axis_masks(k_t, b, t, time_masks, time_mask_param, p,
+                         iid=iid_masks)
+    keep_f = _axis_masks(k_f, b, f, freq_masks, freq_mask_param, 1.0,
+                         iid=iid_masks)
     keep = keep_f[:, :, None] & keep_t[:, None, :]
     x = jnp.where(keep[..., None], x, jnp.asarray(mask_value, x.dtype))
     return x[..., 0] if squeeze else x

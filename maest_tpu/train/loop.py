@@ -54,6 +54,7 @@ def _augment_config(cfg: dict) -> AugmentConfig:
         mask_p=dm["masking"]["p"],
         time_masks=dm["masking"]["time_masks"],
         freq_masks=dm["masking"]["freq_masks"],
+        iid_masks=dm["masking"]["iid_masks"],
         mixup_alpha=cfg["module"]["mixup_alpha"],
         roll=dm["roll"]["do"],
         roll_axis=dm["roll"]["axis"],
@@ -175,6 +176,13 @@ class Trainer:
             ramp_down_start=opt["ramp_down_start"],
             ramp_down_len=opt["ramp_down_len"],
             last_lr_value=opt["last_lr_value"],
+            # Lightning SWA replaces the scheduler with SWALR from the SWA
+            # swap epoch (reference: models/module.py:268-273 swa_lrs=2e-5);
+            # without this the rampdown keeps going — a ~100x LR divergence
+            # over the back half of a 130-epoch pretrain.
+            do_swa=cfg["module"]["do_swa"],
+            swa_epoch_start=cfg["module"]["swa_epoch_start"],
+            swa_lr=cfg["module"]["swa_lrs"],
         )
         self.tx = make_optimizer(
             lr_schedule=schedule, adamw=opt["adamw"],

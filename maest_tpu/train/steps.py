@@ -39,6 +39,7 @@ class AugmentConfig:
     mask_p: float = 0.2
     time_masks: int = 20
     freq_masks: int = 8
+    iid_masks: bool = True
     mixup_alpha: float = 0.3
     # roll augmentation (off by default, reference: discogs/datamodule.py:43,111-124)
     roll: bool = False
@@ -75,6 +76,7 @@ def _prepare(x: jnp.ndarray, aug: AugmentConfig, key, train: bool) -> jnp.ndarra
             p=aug.mask_p,
             time_masks=aug.time_masks,
             freq_masks=aug.freq_masks,
+            iid_masks=aug.iid_masks,
         )
     return x[..., None]
 

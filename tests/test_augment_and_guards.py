@@ -8,7 +8,38 @@ import jax
 import jax.numpy as jnp
 
 from maest_tpu.ops.attention import _validate_tuned_blocks
-from maest_tpu.ops.augment import roll_augment
+from maest_tpu.ops.augment import roll_augment, spec_augment
+
+
+def test_iid_masks_true_masks_differ_per_example():
+    # torchaudio iid_masks=True (the default, discogs/datamodule.py:60):
+    # every batch element draws its own mask positions.
+    x = jnp.ones((4, 24, 64), jnp.float32)
+    out = np.asarray(spec_augment(jax.random.PRNGKey(0), x, time_masks=6,
+                                  freq_masks=3, iid_masks=True))
+    patterns = [tuple(np.flatnonzero(out[b] == 0)) for b in range(4)]
+    assert len(set(patterns)) > 1
+
+
+def test_iid_masks_false_shares_mask_across_batch():
+    # torchaudio iid_masks=False: one mask per draw, shared by the batch.
+    x = jnp.ones((4, 24, 64), jnp.float32)
+    out = np.asarray(spec_augment(jax.random.PRNGKey(0), x, time_masks=6,
+                                  freq_masks=3, iid_masks=False))
+    assert out.min() == 0.0  # something was actually masked
+    for b in range(1, 4):
+        np.testing.assert_array_equal(out[b], out[0])
+
+
+def test_iid_masks_config_key_wired():
+    import inspect
+
+    from maest_tpu.train import loop as loop_mod
+    from maest_tpu.train.steps import AugmentConfig
+
+    assert AugmentConfig().iid_masks is True
+    assert "iid_masks=dm[\"masking\"][\"iid_masks\"]" in inspect.getsource(
+        loop_mod)
 
 
 def test_roll_fixed_shift_honored():
