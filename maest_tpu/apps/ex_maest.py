@@ -75,7 +75,9 @@ def run(argv: list[str]) -> dict:
 
         return fit_with_recovery(cfg)
 
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, run_info={
+        "command": command, "presets": presets, "overrides": overrides,
+    })
     if command == "main":
         return trainer.fit()
     if command == "test":

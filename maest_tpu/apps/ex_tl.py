@@ -37,6 +37,10 @@ def default_config() -> dict:
     return {
         "max_epochs": max_epochs,
         "seed": 0,
+        # "" disables run-record output (hermetic library calls); the CLI
+        # default mirrors the reference's FileStorageObserver("exp_logs")
+        # (reference: ex_tl.py:22)
+        "exp_dir": "",
         "trainer": {"max_epochs": max_epochs},
         "optimizer": {
             "monitor": "val_roc",
@@ -196,6 +200,21 @@ def tl_pipeline(cfg: Optional[dict] = None) -> dict:
             meta / f"groundtruth-{name}.pk", data_cfg["base_dir"], types, reduce
         ).load_all()
 
+    run_dir = None
+    metrics_log = None
+    if cfg.get("exp_dir"):
+        import json
+        import time
+
+        from ..utils.run_record import MetricsLog, write_run_json
+
+        run_dir = Path(cfg["exp_dir"]) / time.strftime("%y%m%d-%H%M%S")
+        run_dir.mkdir(parents=True, exist_ok=True)
+        (run_dir / "config.json").write_text(
+            json.dumps(cfg, indent=2, default=str))
+        write_run_json(run_dir, cfg, {"command": "tl_pipeline"})
+        metrics_log = MetricsLog(run_dir / "metrics.jsonl")
+
     x_train, y_train = split("train")
     x_val, y_val = split("validation")
     x_test, y_test = split("test")
@@ -250,6 +269,10 @@ def tl_pipeline(cfg: Optional[dict] = None) -> dict:
         val_ap, val_roc = evaluate(params, x_val, y_val)
         _logger.info("epoch %d loss=%.4f val_ap=%.4f val_roc=%.4f",
                      epoch, float(loss), val_ap, val_roc)
+        if metrics_log is not None:
+            for name, value in (("train_loss", float(loss)),
+                                ("val_ap", val_ap), ("val_roc", val_roc)):
+                metrics_log.log(name, value, epoch)
         if val_roc > best["val_roc"]:
             best = {"val_roc": val_roc, "params": jax.tree.map(np.asarray, params)}
 
@@ -260,6 +283,10 @@ def tl_pipeline(cfg: Optional[dict] = None) -> dict:
         "test_roc": test_roc,
     }
     _logger.info("tl_pipeline result: %s", result)
+    if run_dir is not None:
+        from ..utils.run_record import finalize_run_json
+
+        finalize_run_json(run_dir, "COMPLETED", result)
     print(result)
     return result
 

@@ -139,9 +139,34 @@ _TUNED_FWD_GROUP: dict[int, int] = {384: 24, 640: 8, 896: 12}
 _TUNED_BWD_GROUP: dict[int, int] = {384: 12, 640: 8, 896: 6}
 
 
+_UNTUNED_LOGGED: set[tuple[int, str]] = set()
+
+
+def _note_untuned(n_pad: int, path: str, fallback) -> None:
+    """One trace-time log line per (pad class, picker) that misses its tuned
+    table: the tables were measured on one v5e, and a new pad class or a
+    different TPU generation silently degrading to generic targets is
+    exactly what a future sweep needs to notice."""
+    if (n_pad, path) not in _UNTUNED_LOGGED:
+        _UNTUNED_LOGGED.add((n_pad, path))
+        import logging
+
+        logging.getLogger(__name__).info(
+            "attention %s: pad class %d not in the tuned table; using "
+            "generic fallback %r (consider a scripts/attn_tune.py sweep)",
+            path, n_pad, fallback,
+        )
+
+
 def _pick_group(n_pad: int, bh: int, table=None) -> int:
     """Largest divisor of batch*heads at or below the tuned group target."""
-    target = (_TUNED_FWD_GROUP if table is None else table).get(n_pad, 1)
+    tab = _TUNED_FWD_GROUP if table is None else table
+    target = tab.get(n_pad, 1)
+    if n_pad not in tab and n_pad < 1792:
+        # pads >= 1792 are deliberately ungroupable (VMEM, _GROUPED_VMEM)
+        _note_untuned(n_pad,
+                      "fwd group" if tab is _TUNED_FWD_GROUP else "bwd group",
+                      1)
     for g in range(min(target, bh), 0, -1):
         if bh % g == 0:
             return g
@@ -529,6 +554,11 @@ _TUNED_FWD_BLOCKS = {
     1792: (1792, 256),  # 30s eval (N=1676): parity-to-better vs (896, 256)
 }
 
+# Pad classes that WERE swept (scripts/attn_tune.py) and measured at parity
+# with the generic (896, 448) targets — excluded from the untuned-fallback
+# log so it only flags genuinely unswept classes.
+_FWD_MEASURED_GENERIC = {128, 256, 384, 512, 640}
+
 
 def _validate_tuned_groups():
     """Pads >= 1792 must never be grouped: per-head unrolled temporaries
@@ -586,7 +616,10 @@ def flash_attention(q, k, v, block_q: int | None = None,
     (``_pick_bwd_block`` / the split-kernel targets), which measured
     strictly better than forward-tuned blocks at every pad class.
     """
-    tq, tk = _TUNED_FWD_BLOCKS.get(_round_up(q.shape[1], 128), (896, 448))
+    n_pad = _round_up(q.shape[1], 128)
+    if n_pad not in _TUNED_FWD_BLOCKS and n_pad not in _FWD_MEASURED_GENERIC:
+        _note_untuned(n_pad, "fwd blocks", (896, 448))
+    tq, tk = _TUNED_FWD_BLOCKS.get(n_pad, (896, 448))
     return _flash_attention_vjp(q, k, v, block_q or tq, block_k or tk,
                                 interpret,
                                 q.shape[1] if n_real is None else n_real)

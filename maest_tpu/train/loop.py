@@ -113,8 +113,10 @@ def _precision_dtype(precision: str):
 class Trainer:
     """End-to-end pre-training driver (reference `main`, ex_maest.py:72-91)."""
 
-    def __init__(self, cfg: dict, run_dir: Optional[str] = None):
+    def __init__(self, cfg: dict, run_dir: Optional[str] = None,
+                 run_info: Optional[dict] = None):
         self.cfg = cfg
+        self._run_info = run_info
         tr = cfg["trainer"]
         self.dtype = _precision_dtype(tr["precision"])
         pp = int(tr.get("pipeline_parallel") or 0)
@@ -256,6 +258,12 @@ class Trainer:
         (self.run_dir / "config.json").write_text(
             json.dumps(cfg, indent=2, default=str)
         )
+        # Sacred-equivalent run bookkeeping (reference: FileStorageObserver,
+        # ex_maest.py:37): run.json + append-only metrics.jsonl
+        from ..utils.run_record import MetricsLog, write_run_json
+
+        write_run_json(self.run_dir, cfg, self._run_info)
+        self.metrics_log = MetricsLog(self.run_dir / "metrics.jsonl")
         self._tb = None
         self.epoch = 0
 
@@ -388,6 +396,20 @@ class Trainer:
 
     # -- loops ---------------------------------------------------------------
     def fit(self):
+        from ..utils.run_record import finalize_run_json
+
+        try:
+            result = self._fit()
+        except KeyboardInterrupt:
+            finalize_run_json(self.run_dir, "INTERRUPTED")
+            raise
+        except Exception:
+            finalize_run_json(self.run_dir, "FAILED")
+            raise
+        finalize_run_json(self.run_dir, "COMPLETED", result)
+        return result
+
+    def _fit(self):
         cfg = self.cfg
         tr = cfg["trainer"]
         mod = cfg["module"]
@@ -434,6 +456,7 @@ class Trainer:
                         step = int(self.state.step)
                         for k, v in last.items():
                             self.tb.add_scalar(k, v, step)
+                            self.metrics_log.log(k, v, step)
                     if tr["limit_train_batches"] and n_steps >= tr["limit_train_batches"]:
                         break
                 # SWA (reference: helpers/swa_callback.py:9-15; start epoch
@@ -449,6 +472,7 @@ class Trainer:
                 )
                 for k, v in val.items():
                     self.tb.add_scalar(k, v, self.epoch)
+                    self.metrics_log.log(k, v, self.epoch)
 
                 self.save_checkpoint(f"epoch-{self.epoch}")
                 if val.get("val_loss", float("inf")) < best_val:

@@ -94,6 +94,21 @@ def test_train_and_resume(corpus, tmp_path):
     cfg_json = json.loads((runs[-1] / "config.json").read_text())
     assert cfg_json["maest"]["depth"] == 2
 
+    # Sacred-style run records (reference: FileStorageObserver,
+    # ex_maest.py:37): run.json captures the invocation, metrics.jsonl is
+    # the append-only scalar history.
+    run_json = json.loads((runs[-1] / "run.json").read_text())
+    assert run_json["status"] == "COMPLETED"
+    assert run_json["command"] == "main"
+    assert run_json["overrides"]  # the CLI override list was captured
+    assert len(run_json["config_sha256"]) == 64
+    metric_lines = [
+        json.loads(line)
+        for line in (runs[-1] / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any(m["name"] == "val_loss" for m in metric_lines)
+    assert all({"name", "value", "step", "ts"} <= set(m) for m in metric_lines)
+
     # resume from epoch-0 and train one more epoch
     res = run(
         ["main", "with"]

@@ -68,6 +68,17 @@ def test_tl_pipeline_learns(embedding_corpus):
         token_size=token,
         n_classes=n_classes,
     )
+    cfg["exp_dir"] = str(root / "exp_logs")
     res = tl_pipeline(cfg)
     assert res["test_roc"] > 0.9  # separable synthetic task
     assert 0 <= res["test_ap"] <= 1
+
+    # run records (reference Sacred observer, ex_tl.py:22)
+    import json
+
+    run_dir = sorted((root / "exp_logs").iterdir())[-1]
+    run_json = json.loads((run_dir / "run.json").read_text())
+    assert run_json["status"] == "COMPLETED"
+    assert run_json["result"]["test_roc"] == res["test_roc"]
+    lines = (run_dir / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 8 * 3  # 3 scalars per epoch
