@@ -255,8 +255,17 @@ def from_hf_ast_state(state: Mapping[str, np.ndarray], cfg: MAESTConfig) -> Stat
 
 def ast_config_dict(cfg: MAESTConfig, labels=None) -> dict:
     """HF ``ASTConfig`` dict (reference: push_to_hub.py:100-144): 96 mel
-    bins, stride 10, eps 1e-6, max_length = time-grid frames."""
+    bins, stride 10, eps 1e-6.
+
+    ``max_length`` follows the reference's per-duration table (316/626/
+    1256/1876, push_to_hub.py:100-108): the smallest input length whose
+    VALID conv emits exactly ``grid_t`` time patches — i.e.
+    ``patch + stride*(grid_t-1)`` — so AST's position-embedding count
+    matches the exported (grid_f*grid_t + 2) table. Using ``img_size[1]``
+    here under-counts by one column and ASTForAudioClassification refuses
+    to load the export (found by tests/test_hf_feature_extractor.py)."""
     grid_f, grid_t = cfg.grid_size
+    ast_max_length = cfg.patch_size + cfg.stride[1] * (grid_t - 1)
     d = {
         "architectures": ["ASTForAudioClassification"],
         "model_type": "audio-spectrogram-transformer",
@@ -273,7 +282,7 @@ def ast_config_dict(cfg: MAESTConfig, labels=None) -> dict:
         "qkv_bias": True,
         "frequency_stride": cfg.stride[0],
         "time_stride": cfg.stride[1],
-        "max_length": cfg.img_size[1],
+        "max_length": ast_max_length,
         "num_mel_bins": cfg.img_size[0],
         "num_labels": cfg.num_classes,
     }
@@ -291,6 +300,13 @@ def feature_extractor_config(cfg: MAESTConfig) -> dict:
     mel = MelConfig()
     return {
         "feature_extractor_type": "MAESTFeatureExtractor",
+        # the export dir carries feature_extraction_maest.py; AutoFeatureExtractor
+        # resolves the class from it with trust_remote_code=True, like the
+        # released mtg-upf/discogs-maest-* hub repos
+        "auto_map": {
+            "AutoFeatureExtractor":
+                "feature_extraction_maest.MAESTFeatureExtractor",
+        },
         "sampling_rate": mel.sample_rate,
         "n_fft": mel.n_fft,
         "hop_length": mel.hop_length,
@@ -300,7 +316,9 @@ def feature_extractor_config(cfg: MAESTConfig) -> dict:
         "log_compression_scale": mel.compression_scale,
         "mean": mel.norm_mean,
         "std": mel.norm_std,
-        "max_length": cfg.img_size[1],
+        # same convention as the model config (reference per-duration table,
+        # push_to_hub.py:100-108): frames fed to AST must emit grid_t patches
+        "max_length": cfg.patch_size + cfg.stride[1] * (cfg.grid_size[1] - 1),
         "padding_value": 0.0,
         "return_attention_mask": False,
     }
@@ -317,12 +335,23 @@ def save_pretrained(params, cfg: MAESTConfig, out_dir: str, labels=None) -> str:
     save_file(
         {k: np.ascontiguousarray(v, dtype=np.float32) for k, v in ast_state.items()},
         os.path.join(out_dir, "model.safetensors"),
-        metadata={"format": "np"},
+        # "pt" is a metadata tag only (the byte format is identical);
+        # transformers refuses to load files tagged "np"
+        metadata={"format": "pt"},
     )
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(ast_config_dict(cfg, labels), f, indent=2)
     with open(os.path.join(out_dir, "preprocessor_config.json"), "w") as f:
         json.dump(feature_extractor_config(cfg), f, indent=2)
+    # ship the custom extractor module next to the weights (the reference
+    # keeps it hub-side only, packaging/push_to_hub.py:7; we make the export
+    # self-contained so AutoFeatureExtractor works on the local dir too)
+    import shutil
+
+    shutil.copyfile(
+        os.path.join(os.path.dirname(__file__), "feature_extraction_maest.py"),
+        os.path.join(out_dir, "feature_extraction_maest.py"),
+    )
     return out_dir
 
 

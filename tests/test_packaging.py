@@ -96,7 +96,13 @@ def test_ast_config(small_cfg):
     d = ast_config_dict(small_cfg, labels=["a", "b", "c", "d", "e", "f", "g"])
     assert d["num_mel_bins"] == 96
     assert d["time_stride"] == 10
-    assert d["max_length"] == 120
+    # the reference's per-duration AST max_length convention
+    # (push_to_hub.py:100-108): patch + stride * (grid_t - 1); img_t=120
+    # (grid 12) -> 126, and the released 30 s geometry (1875 -> 187) -> 1876
+    assert d["max_length"] == 126
+    from maest_tpu.models.config import MAESTConfig as _C
+
+    assert ast_config_dict(_C(img_size=(96, 1875)))["max_length"] == 1876
     assert d["id2label"]["0"] == "a"
 
 
