@@ -567,13 +567,27 @@ class Trainer:
         """Exhaustive-window prediction, aggregated per file and written as
         .npy (reference: ex_maest.py:162-207)."""
         cfg = self.cfg
+        net, mesh, batch_shard = self.net, self.mesh, self.batch_shard
+        params = self.state.params
         if self.pipeline_parallel:
-            raise NotImplementedError(
-                "embedding/logit extraction taps intermediate blocks, which "
-                "the pipeline front/trunk/tail split does not expose — run "
-                "extraction with trainer.pipeline_parallel=0 (inference "
-                "does not need pipeline memory relief)"
+            # Extraction taps intermediate blocks, which the pipeline
+            # front/trunk/tail split does not expose — and inference needs no
+            # pipeline memory relief. Degrade to the sequential path on a
+            # flat DP mesh over the same devices: PP storage keeps the
+            # checkpoint-mappable layout (replicated, or ZeRO-3 data-sharded
+            # under fsdp), so a resharding device_put is all it takes.
+            _logger.info(
+                "predict under pipeline_parallel=%d: using the sequential "
+                "tap path on a flat %d-way DP mesh",
+                self.pipeline_parallel, self.mesh.size,
             )
+            from ..parallel.mesh import make_mesh, replicated
+
+            mesh = make_mesh(self.mesh.size)
+            net = MAESTNet(self.model_cfg, dtype=self.dtype,
+                           mesh=mesh if mesh.size > 1 else None)
+            params = jax.device_put(params, replicated(mesh))
+            batch_shard = batch_sharding(mesh)
         dm = cfg["datamodule"]
         ds_cfg = _dataset_cfg(cfg)
         ds = ExhaustiveMelDataset(
@@ -582,15 +596,15 @@ class Trainer:
         )
         loader = BatchLoader(ds, dm["batch_size_test"],
                              num_workers=dm["num_workers"])
-        predict_step = make_predict_step(self.net, self.aug)
+        predict_step = make_predict_step(net, self.aug)
         block = cfg["predict"]["transformer_block"]
 
         agg: dict[str, list] = {}
-        with self.mesh:
-            batches = _pad_batches(iter(loader), self.n_data,
+        with mesh:
+            batches = _pad_batches(iter(loader), mesh.shape["data"],
                                    dm["batch_size_test"])
-            for batch in device_prefetch(batches, self.batch_shard):
-                out = predict_step(self.state.params, _step_batch(batch), block)
+            for batch in device_prefetch(batches, batch_shard):
+                out = predict_step(params, _step_batch(batch), block)
                 n_true = batch["_n"]
                 vals = np.asarray(out[output_name], np.float32)[:n_true]
                 for fname, v in zip(batch["filename"][:n_true], vals):

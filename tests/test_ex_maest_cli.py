@@ -197,6 +197,24 @@ def test_extract_embeddings(corpus, tmp_path):
     assert emb.ndim == 2 and emb.shape[1] == 3 * 64
 
 
+def test_extract_embeddings_under_pipeline_parallel(corpus, tmp_path):
+    """A pp-configured trainer must degrade extraction to the sequential
+    tap path (flat DP mesh) instead of dying at predict time, and produce
+    the same embeddings as the plain DP run."""
+    res = run(["extract_embeddings", "with"] + _overrides(corpus, tmp_path, [
+        "trainer.devices=4",
+        "trainer.pipeline_parallel=2",
+        "trainer.num_microbatches=2",
+        f"predict.out_dir={tmp_path}/exp_out_pp",
+    ]))
+    assert res["n_files"] == 10
+    res_seq = run(["extract_embeddings", "with"] + _overrides(
+        corpus, tmp_path, [f"predict.out_dir={tmp_path}/exp_out_seq"]))
+    for f in (tmp_path / "exp_out_pp" / "1sec" / "1").glob("*.npy"):
+        want = np.load(tmp_path / "exp_out_seq" / "1sec" / "1" / f.name)
+        np.testing.assert_allclose(np.load(f), want, atol=1e-5, rtol=1e-5)
+
+
 def test_test_command(corpus, tmp_path, capsys):
     res = run(["test", "with"] + _overrides(corpus, tmp_path))
     assert "test_loss" in res and "test_ap" in res
