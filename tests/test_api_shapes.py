@@ -7,6 +7,8 @@ adapted to array inputs instead of torch tensors.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from maest_tpu import get_maest
 
 

@@ -5,6 +5,10 @@ config, config_updates.py:10-14); this pins the full jitted train step —
 augmentation off, BCE, AdamW, schedule — actually learning.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

@@ -12,6 +12,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from maest_tpu.apps.ex_maest import parse_argv, run
 from maest_tpu.configs import build_experiment_config
 

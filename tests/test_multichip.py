@@ -18,9 +18,12 @@ from maest_tpu.parallel.mesh import make_mesh, shard_params
 from maest_tpu.train.state import TrainState, make_optimizer
 from maest_tpu.train.steps import AugmentConfig, make_train_step
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs 8 virtual devices"
+    ),
+    pytest.mark.slow,
+]
 
 
 def _tiny_cfg():

@@ -10,6 +10,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from maest_tpu.configs import build_experiment_config
 from maest_tpu.train.resilience import (
     fit_with_recovery,

@@ -13,6 +13,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from maest_tpu.apps.ex_maest import run as ex_maest_run
 from maest_tpu.apps.ex_tl import default_config as tl_default_config
 from maest_tpu.apps.ex_tl import tl_pipeline
