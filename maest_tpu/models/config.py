@@ -57,10 +57,28 @@ class MAESTConfig:
     # attention implementation: "auto" picks the Pallas flash kernel on TPU
     # and XLA elsewhere; "xla"/"flash" force a path.
     attention_impl: str = "auto"
+    # 8-bit attention arithmetic on the flash path: "none" | "qk8" |
+    # "qk8pv8" (int8, int32 accumulation, exact rescale) | "fp8" |
+    # "fp8pv8" (e4m3, scale-free). Forward-only: the backward stays bf16
+    # (straight-through). Ignored on the XLA path. MEASURED SLOWER than
+    # bf16 at MAEST's d=64 geometry (the softmax VPU floor binds once the
+    # MXU speeds up — docs/DESIGN.md round-3); provided for d>=128
+    # geometries where the MXU share dominates.
+    attention_quant: str = "none"
     # rematerialize transformer blocks during training (jax.checkpoint):
     # trades ~30% more FLOPs on backward for O(depth) less activation
     # memory, buying larger per-chip batches.
     remat: bool = False
+    # what the remat'd block may keep instead of recomputing:
+    #   "full"     — save nothing, recompute the whole block (default);
+    #   "dots"     — jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    #                keeps matmul outputs (qkv/proj/mlp), recomputes the
+    #                cheap elementwise ops only;
+    #   "attn_out" — save just the flash-attention outputs (tagged with
+    #                checkpoint_name), so the backward never re-runs the
+    #                attention forward kernel but activation memory stays
+    #                O(N·E) per block rather than O(N·4E).
+    remat_policy: str = "full"
     # GELU flavor: the reference uses torch nn.GELU() = exact erf. The exact
     # erf does not fuse into the matmul epilogue on TPU and doubles MLP time;
     # the tanh approximation is free. "auto" uses tanh under bf16 compute

@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 
 from .config import MAESTConfig
 from ..utils.shapes import round_up
@@ -117,6 +118,7 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"  # "auto" | "flash" | "xla"
+    quant: str = "none"  # "none" | "qk8" | "qk8pv8" (flash path only)
     mesh: object = None  # jax.sharding.Mesh -> shard_map'd flash kernel
     # number of REAL tokens when the residual stream is padded once for
     # the whole network (pad-once; None = all tokens are real)
@@ -161,12 +163,13 @@ class Attention(nn.Module):
             )
 
         n_real = self.n_real if self.n_real is not None else n
+        quant = None if self.quant in ("none", None) else self.quant
         if impl == "flash":
             if self.mesh is not None and getattr(self.mesh, "size", 1) > 1:
                 out = flash_attention_sharded(q, k, v, self.mesh,
-                                              n_real=n_real)
+                                              n_real=n_real, quant=quant)
             else:
-                out = flash_attention(q, k, v, n_real=n_real)
+                out = flash_attention(q, k, v, n_real=n_real, quant=quant)
             out = out.reshape(b, n, c)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
@@ -184,11 +187,30 @@ class Attention(nn.Module):
                              precision=_tier_precision(self.dtype)
                              ).reshape(b, n, c)
 
+        # tag for remat_policy="attn_out": saving this one (B, N, E)
+        # activation lets the backward skip re-running the attention
+        # forward (flash kernel included) while the rest of the block
+        # still rematerializes
+        out = _checkpoint_name(out, "attn_out")
         out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=_DENSE_INIT,
                        precision=_tier_precision(self.dtype),
                        name="proj")(out)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
+
+
+def remat_policy(name: str):
+    """Map ``cfg.remat_policy`` to a jax.checkpoint policy (None = save
+    nothing). See MAESTConfig.remat_policy for the semantics; measured A/B
+    numbers live in docs/DESIGN.md (round 3)."""
+    if name in ("full", "none", None):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "attn_out":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
+    raise ValueError(f"unknown remat_policy {name!r}; "
+                     "expected 'full' | 'dots' | 'attn_out'")
 
 
 def drop_path(x, rate: float, deterministic: bool, rng) -> jnp.ndarray:
@@ -213,6 +235,7 @@ class Block(nn.Module):
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    attn_quant: str = "none"
     gelu_approx: str = "auto"
     mesh: object = None
     sequence_parallel: bool = False
@@ -241,8 +264,8 @@ class Block(nn.Module):
         attn = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            impl=self.attn_impl, mesh=self.mesh, n_real=self.n_real,
-            name="attn",
+            impl=self.attn_impl, quant=self.attn_quant, mesh=self.mesh,
+            n_real=self.n_real, name="attn",
         )
         if return_self_attention:
             return attn(norm1(x), deterministic=deterministic)
@@ -290,6 +313,7 @@ def block_kwargs(cfg, dtype, *, drop_path_rate: float = 0.0, mesh=None,
         eps=cfg.layer_norm_eps,
         dtype=dtype,
         attn_impl=cfg.attention_impl,
+        attn_quant=cfg.attention_quant,
         gelu_approx=cfg.gelu_approx,
         mesh=mesh,
         sequence_parallel=(cfg.sequence_parallel if sequence_parallel is None
@@ -551,7 +575,8 @@ class MAESTNet(nn.Module):
         if cfg.remat and train:
             # recompute each block on backward instead of storing activations;
             # flax offsets argnums for self, so (1, 2) = the two boolean flags
-            block_cls = nn.remat(Block, static_argnums=(1, 2))
+            block_cls = nn.remat(Block, static_argnums=(1, 2),
+                                 policy=remat_policy(cfg.remat_policy))
         blocks = [
             block_cls(
                 **block_kwargs(cfg, self.dtype, drop_path_rate=dpr[i],

@@ -83,6 +83,96 @@ def _attn_body(q, load_kt, load_v, v_dtype, *, scale: float, n_real: int,
     return acc / l, (m + jnp.log2(l))[:, 0]
 
 
+def _attn_body_q8(qi8, qs, load_kt8, load_sk, load_v, v_dtype, *,
+                  n_real: int, block_k: int, n_pad: int, pv8: bool,
+                  sv=None):
+    """int8-quantized online-softmax attention for one head's q block.
+
+    Scores run on the MXU in int8 (int32 accumulation): the d=64
+    contraction only fills half the 128-deep bf16 MXU, and int8 packs two
+    operands per cell, so the same shape streams at ~2x (measured:
+    scripts/int8_probe.py). Dequantization is exact rescaling — per-q-row
+    scale ``qs`` (already folded with softmax scale * log2e) and per-key
+    scale row ``load_sk(base)`` — two VPU broadcasts per score block.
+
+    With ``pv8`` the P·V matmul is int8 too: probabilities are in (0, 1]
+    after the exp2 (deferred normalization), so a static 127 scale
+    quantizes them; ``sv`` is the per-v-column scale row (1, d) and the
+    accumulated int32 products are rescaled ONCE at the end (sv is
+    constant across key blocks, so it commutes with the online-softmax
+    correction factors).
+    """
+    bq, d = qi8.shape
+
+    m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    for jb in range(n_pad // block_k):
+        base = jb * block_k
+        s_int = jnp.dot(
+            qi8, load_kt8(base), preferred_element_type=jnp.int32
+        )  # (bq, block_k) int32
+        s = s_int.astype(jnp.float32) * qs * load_sk(base)
+        if base + block_k > n_real:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + base
+            s = jnp.where(pos < n_real, s, _NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        corr = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        if pv8:
+            p8 = jnp.round(p * 127.0).astype(jnp.int8)
+            pv = jnp.dot(p8, load_v(base), preferred_element_type=jnp.int32)
+            acc = acc * corr + pv.astype(jnp.float32)
+        else:
+            acc = acc * corr + jnp.dot(
+                p.astype(v_dtype), load_v(base),
+                preferred_element_type=jnp.float32,
+            )
+        m = m_new
+
+    if pv8:
+        acc = acc * (sv / 127.0)
+    return acc / l, (m + jnp.log2(l))[:, 0]
+
+
+def _attn_kernel_q8(q_ref, kt_ref, sq_ref, sk_ref, v_ref, sv_ref, out_ref,
+                    lse_ref=None, *, scale: float, n_real: int,
+                    block_k: int, pv8: bool):
+    """int8 forward program: layout mirrors ``_attn_kernel`` with scale
+    rows added — sq_ref (g, 1, block_q) per-q-row, sk_ref (g, 1, n_pad)
+    per-key, sv_ref (g, 1, d) per-v-column (all fp32; sv is all-ones when
+    ``pv8`` is off). With ``pv8`` v_ref is int8."""
+    n_pad = kt_ref.shape[2]
+    sl = scale * _LOG2E
+    for h in range(q_ref.shape[0]):
+        out, lse = _attn_body_q8(
+            q_ref[h],
+            sq_ref[h, 0][:, None] * sl,
+            lambda base, h=h: kt_ref[h, :, base:base + block_k],
+            lambda base, h=h: sk_ref[h, :, base:base + block_k],
+            lambda base, h=h: v_ref[h, base:base + block_k, :],
+            v_ref.dtype, n_real=n_real, block_k=block_k, n_pad=n_pad,
+            pv8=pv8, sv=sv_ref[h] if pv8 else None,
+        )
+        out_ref[h] = out.astype(out_ref.dtype)
+        if lse_ref is not None:
+            lse_ref[h, 0] = lse
+
+
+def _quantize_rows(x, eps: float = 1e-30):
+    """Symmetric per-row int8 quantization over the last axis.
+
+    x (..., d) -> (int8 values, fp32 scales (...,)). The scale floor keeps
+    all-zero rows (sequence padding) from dividing by zero."""
+    scales = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), eps
+    ) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scales[..., None])
+    return q.astype(jnp.int8), scales
+
+
 def _attn_kernel(q_ref, kt_ref, v_ref, out_ref, lse_ref=None, *, scale: float,
                  n_real: int, block_k: int):
     """One program of the flash forward.
@@ -192,11 +282,22 @@ def _unflatten(x, b: int, n: int, h: int, d: int):
 
 
 def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
-                   with_lse: bool = True, n_real: int | None = None):
+                   with_lse: bool = True, n_real: int | None = None,
+                   quant: str | None = None):
     """q, k, v: (B, N, H, D) -> (out (B, N, H, D), lse (B*H, 1, N_pad)).
 
     ``with_lse=False`` (the inference primal) emits only the output —
     the extra lse store measured ~5% of the whole model step.
+
+    ``quant``: None (bf16 MXU), "qk8" (int8 QK^T, int32 accumulation,
+    exact per-row/per-key rescale), "qk8pv8" (int8 P·V as well), "fp8"
+    (e4m3 QK^T — scale-free, identical kernel structure), or "fp8pv8".
+    Quantization runs in XLA outside the kernel — it fuses into the
+    producing ops and HALVES the kernel's q/kT (and v) HBM bytes.
+    NOTE: at MAEST's d=64 geometry every 8-bit mode measured SLOWER than
+    bf16 (the softmax VPU floor binds once the MXU speeds up — see
+    docs/DESIGN.md round-3); they are kept for d>=128 geometries where
+    the MXU share dominates.
     """
     b, n, h, d = q.shape
     nr = n if n_real is None else n_real
@@ -207,7 +308,6 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
     g = _pick_group(n_pad, b * h) if bq == n_pad else 1
 
     qf, kf, vf = _flatten_pad(n_pad, q, k, v)
-    kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
 
     # g whole heads per program via a flat (g, ...) BlockSpec over the
     # unreshaped arrays — no XLA relayout; g == 1 is the classic layout.
@@ -219,29 +319,80 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
         # block-shape divisibility rule for the (g, 1, bq) blocks
         out_shape.append(jax.ShapeDtypeStruct((b * h, 1, n_pad), jnp.float32))
         out_specs.append(pl.BlockSpec((g, 1, bq), lambda i, j: (i, 0, j)))
-    # with one output pallas passes 4 refs and lse_ref defaults to None
-    res = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, n_real=nr, block_k=bk),
-        out_shape=out_shape,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((g, bq, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((g, d, n_pad), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((g, n_pad, d), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=out_specs,
-        interpret=interpret,
-        compiler_params=_GROUPED_VMEM if g > 1 else None,
-    )(qf, kt, vf)
+
+    if quant in (None, "fp8", "fp8pv8"):
+        if quant is not None:
+            # fp8 is a FLOAT: no scales are needed for correctness —
+            # e4m3's ±448 range covers post-LN activations and precision
+            # is relative (~2^-4) at any magnitude. The kernel is
+            # byte-identical to the bf16 one (dot emits fp32 directly),
+            # so unlike int8 there is ZERO extra VPU work; only the MXU
+            # streams ~2.6x faster (scripts/int8_probe2.py).
+            qf = qf.astype(jnp.float8_e4m3fn)
+            kf = kf.astype(jnp.float8_e4m3fn)
+            if quant == "fp8pv8":
+                vf = vf.astype(jnp.float8_e4m3fn)
+        kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
+        # with one output pallas passes 4 refs and lse_ref defaults to None
+        res = pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale, n_real=nr,
+                              block_k=bk),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((g, bq, d), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((g, d, n_pad), lambda i, j: (i, 0, 0)),
+                pl.BlockSpec((g, n_pad, d), lambda i, j: (i, 0, 0)),
+            ],
+            out_specs=out_specs,
+            interpret=interpret,
+            compiler_params=_GROUPED_VMEM if g > 1 else None,
+        )(qf, kt, vf)
+    else:
+        if quant not in ("qk8", "qk8pv8"):
+            raise ValueError(f"unknown attention quant mode {quant!r}")
+        pv8 = quant == "qk8pv8"
+        qi8, sq = _quantize_rows(qf)          # (bh, n_pad, d) i8 / (bh, n_pad)
+        ki8, sk = _quantize_rows(kf)
+        kt8 = jnp.swapaxes(ki8, 1, 2)         # (bh, d, n_pad) int8
+        sq_r = sq[:, None, :]                 # (bh, 1, n_pad) fp32
+        sk_r = sk[:, None, :]
+        if pv8:
+            sv = jnp.maximum(
+                jnp.max(jnp.abs(vf.astype(jnp.float32)), axis=1), 1e-30
+            ) / 127.0                         # (bh, d)
+            v_in = jnp.round(
+                vf.astype(jnp.float32) / sv[:, None, :]).astype(jnp.int8)
+            sv_r = sv[:, None, :]             # (bh, 1, d)
+        else:
+            v_in = vf
+            sv_r = jnp.ones((b * h, 1, d), jnp.float32)
+        res = pl.pallas_call(
+            functools.partial(_attn_kernel_q8, scale=scale, n_real=nr,
+                              block_k=bk, pv8=pv8),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((g, bq, d), lambda i, j: (i, j, 0)),      # qi8
+                pl.BlockSpec((g, d, n_pad), lambda i, j: (i, 0, 0)),   # kt8
+                pl.BlockSpec((g, 1, bq), lambda i, j: (i, 0, j)),      # sq
+                pl.BlockSpec((g, 1, n_pad), lambda i, j: (i, 0, 0)),   # sk
+                pl.BlockSpec((g, n_pad, d), lambda i, j: (i, 0, 0)),   # v
+                pl.BlockSpec((g, 1, d), lambda i, j: (i, 0, 0)),       # sv
+            ],
+            out_specs=out_specs,
+            interpret=interpret,
+            compiler_params=_GROUPED_VMEM if g > 1 else None,
+        )(qi8, kt8, sq_r, sk_r, v_in, sv_r)
     out, lse = (res[0], res[1]) if with_lse else (res[0], None)
     return _unflatten(out, b, n, h, d), lse
 
 
 def _flash_fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool,
-               n_real: int | None = None):
+               n_real: int | None = None, quant: str | None = None):
     return _flash_fwd_lse(q, k, v, block_q=block_q, block_k=block_k,
                           interpret=interpret, with_lse=False,
-                          n_real=n_real)[0]
+                          n_real=n_real, quant=quant)[0]
 
 
 def attention_reference(q, k, v):
@@ -592,16 +743,16 @@ def _validate_tuned_blocks(table=None):
 _validate_tuned_blocks()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_attention_vjp(q, k, v, block_q: int, block_k: int,
-                         interpret: bool, n_real: int):
+                         interpret: bool, n_real: int, quant: str | None):
     return _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
-                      interpret=interpret, n_real=n_real)
+                      interpret=interpret, n_real=n_real, quant=quant)
 
 
 def flash_attention(q, k, v, block_q: int | None = None,
                     block_k: int | None = None, interpret: bool = False,
-                    n_real: int | None = None):
+                    n_real: int | None = None, quant: str | None = None):
     """Fused multi-head attention; inputs/outputs (B, N, H, D).
 
     ``n_real``: number of REAL tokens when the caller already padded the
@@ -615,6 +766,13 @@ def flash_attention(q, k, v, block_q: int | None = None,
     only: the backward always uses the VMEM-budget rule
     (``_pick_bwd_block`` / the split-kernel targets), which measured
     strictly better than forward-tuned blocks at every pad class.
+
+    ``quant``: None | "qk8" | "qk8pv8" | "fp8" | "fp8pv8" — 8-bit MXU
+    forward (see ``_flash_fwd_lse``). The backward stays bf16
+    (straight-through);
+    under autodiff the saved lse comes from the quantized forward, so
+    reconstructed probabilities differ from the quantized ones by the
+    quantization noise only.
     """
     n_pad = _round_up(q.shape[1], 128)
     if n_pad not in _TUNED_FWD_BLOCKS and n_pad not in _FWD_MEASURED_GENERIC:
@@ -622,12 +780,14 @@ def flash_attention(q, k, v, block_q: int | None = None,
     tq, tk = _TUNED_FWD_BLOCKS.get(n_pad, (896, 448))
     return _flash_attention_vjp(q, k, v, block_q or tq, block_k or tk,
                                 interpret,
-                                q.shape[1] if n_real is None else n_real)
+                                q.shape[1] if n_real is None else n_real,
+                                quant)
 
 
-def _fwd(q, k, v, block_q, block_k, interpret, n_real):
+def _fwd(q, k, v, block_q, block_k, interpret, n_real, quant):
     out, lse = _flash_fwd_lse(q, k, v, block_q=block_q, block_k=block_k,
-                              interpret=interpret, n_real=n_real)
+                              interpret=interpret, n_real=n_real,
+                              quant=quant)
     return out, (q, k, v, out, lse)
 
 
@@ -654,7 +814,7 @@ def _pick_bwd_block(n_pad: int) -> int:
     return best
 
 
-def _bwd(block_q, block_k, interpret, n_real, res, g):
+def _bwd(block_q, block_k, interpret, n_real, quant, res, g):
     q, k, v, o, lse = res
     # Backward q blocks are picked by the VMEM rule above, independent of
     # the forward tuning; the kernel always sees the FULL key range per
@@ -683,7 +843,8 @@ _flash_attention_vjp.defvjp(_fwd, _bwd)
 def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
                             block_k: int | None = None,
                             interpret: bool = False,
-                            n_real: int | None = None):
+                            n_real: int | None = None,
+                            quant: str | None = None):
     """flash_attention under a multi-device mesh via shard_map.
 
     Attention is embarrassingly parallel over (batch, heads): batch shards
@@ -707,7 +868,7 @@ def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
 
     fn = shard_map(
         partial(flash_attention, block_q=block_q, block_k=block_k,
-                interpret=interpret, n_real=n_real),
+                interpret=interpret, n_real=n_real, quant=quant),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -230,7 +230,9 @@ def _make_tp_block(cfg: MAESTConfig, dtype, n_real: Optional[int]):
             impl = ("flash" if use_flash(n, head_dim) and not needs_drop
                     else "xla")
         if impl == "flash":
-            out = flash_attention(q, k, v, n_real=nr)
+            quant = (None if cfg.attention_quant in ("none", None)
+                     else cfg.attention_quant)
+            out = flash_attention(q, k, v, n_real=nr, quant=quant)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                               preferred_element_type=jnp.float32,
@@ -359,7 +361,10 @@ def pipeline_trunk(
             return block.apply({"params": p}, h, deterministic, rngs=rngs)
 
     if cfg.remat and train:
-        apply_block = jax.checkpoint(apply_block, static_argnums=(3,))
+        from ..models.vit import remat_policy
+
+        apply_block = jax.checkpoint(apply_block, static_argnums=(3,),
+                                     policy=remat_policy(cfg.remat_policy))
 
     gather_dims = None
     if fsdp and d_shards > 1:

@@ -191,3 +191,50 @@ def test_pad_once_model_matches_xla_path(monkeypatch):
                                    rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(pad_tap), np.asarray(ref_tap),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_int8_quant_matches_reference():
+    """qk8 / qk8pv8 forward: int8 MXU arithmetic with exact rescale must
+    stay within the quantization-noise band of the fp32 reference (well
+    inside the production bf16 band of ~5e-3)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    b, n, h, d = 2, 200, 4, 64  # padding exercised (200 -> 256)
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+    ref = attention_reference(q, k, v)
+    for quant, tol in (("qk8", 6e-4), ("qk8pv8", 2e-3),
+                       ("fp8", 3e-3), ("fp8pv8", 2e-2)):
+        out = flash_attention(q, k, v, block_q=128, block_k=128,
+                              interpret=True, quant=quant)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=tol)
+
+
+def test_int8_quant_grads_close():
+    """The backward stays bf16 (straight-through); with the saved lse
+    coming from the quantized forward, gradients must track the reference
+    to quantization noise."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(6), 3)
+    b, n, h, d = 1, 150, 2, 64
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+
+    def f(fn, quant=None):
+        if quant:
+            return jax.grad(lambda q: fn(q, k, v, interpret=True,
+                                         quant=quant).sum())(q)
+        return jax.grad(lambda q: fn(q, k, v).sum())(q)
+
+    ref = f(attention_reference)
+    for quant in ("qk8", "qk8pv8"):
+        g = f(flash_attention, quant)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref),
+                                   rtol=0, atol=5e-4)
+
+
+def test_quant_rejects_unknown_mode():
+    import pytest
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = (_rand(k1, (1, 128, 2, 64)), _rand(k2, (1, 128, 2, 64)),
+               _rand(k3, (1, 128, 2, 64)))
+    with pytest.raises(ValueError, match="quant"):
+        flash_attention(q, k, v, interpret=True, quant="int4")
