@@ -219,6 +219,9 @@ def get_maest(
     embed_dim: int = 768,
     depth: int = 12,
     num_heads: int = 12,
+    remat: bool = False,
+    remat_policy: str = "full",
+    attention_quant: str = "none",
     mesh=None,
 ) -> MAEST:
     """Build a MAEST model, optionally loading released weights.
@@ -251,6 +254,9 @@ def get_maest(
         embed_dim=embed_dim,
         depth=depth,
         num_heads=num_heads,
+        remat=remat,
+        remat_policy=remat_policy,
+        attention_quant=attention_quant,
     )
 
     params = init_params(cfg, jax.random.PRNGKey(seed))

@@ -119,6 +119,13 @@ def default_config() -> dict:
             "embed_dim": 768,
             "depth": 12,
             "num_heads": 12,
+            # TPU execution knobs (beyond reference; measured A/Bs in
+            # docs/DESIGN.md round-3): transformer-block rematerialization
+            # for memory-bound runs, its save policy, and 8-bit attention
+            # arithmetic (off: slower than bf16 at MAEST's d=64 geometry).
+            "remat": False,
+            "remat_policy": "full",
+            "attention_quant": "none",
         },
         "module": {
             "do_swa": True,

@@ -121,6 +121,9 @@ def build_config(
     embed_dim: int = 768,
     depth: int = 12,
     num_heads: int = 12,
+    remat: bool = False,
+    remat_policy: str = "full",
+    attention_quant: str = "none",
 ) -> MAESTConfig:
     """Build the model config for an arch string (reference: models/maest.py:1467-1548).
 
@@ -131,6 +134,15 @@ def build_config(
     """
     if arch not in ARCHS:
         raise NotImplementedError(f"model {arch} not implemented")
+    # fail at build time, not at trace time deep inside a train step
+    if attention_quant not in ("none", "qk8", "qk8pv8", "fp8", "fp8pv8"):
+        raise ValueError(
+            f"unknown attention_quant {attention_quant!r}; expected 'none', "
+            "'qk8', 'qk8pv8', 'fp8' or 'fp8pv8'")
+    if remat_policy not in ("full", "dots", "attn_out"):
+        raise ValueError(
+            f"unknown remat_policy {remat_policy!r}; expected 'full', "
+            "'dots' or 'attn_out'")
     spec = ARCHS[arch]
     if input_t is None:
         input_t = spec.default_input_t
@@ -159,4 +171,7 @@ def build_config(
         drop_rate=drop_rate,
         attn_drop_rate=attn_drop_rate,
         drop_path_rate=drop_path_rate,
+        remat=remat,
+        remat_policy=remat_policy,
+        attention_quant=attention_quant,
     )

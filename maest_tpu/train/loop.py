@@ -90,6 +90,9 @@ def _build_model(cfg: dict, dtype):
         embed_dim=m.get("embed_dim", 768),
         depth=m.get("depth", 12),
         num_heads=m.get("num_heads", 12),
+        remat=m.get("remat", False),
+        remat_policy=m.get("remat_policy", "full"),
+        attention_quant=m.get("attention_quant", "none"),
     )
     return wrapper
 

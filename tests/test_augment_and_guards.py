@@ -250,3 +250,30 @@ def test_count_non_zero_params_empty():
     from maest_tpu.utils.params import count_non_zero_params
 
     assert count_non_zero_params({})["sparsity"] == 0.0
+
+
+def test_tpu_execution_knobs_config_keys_wired():
+    """`maest.remat` / `remat_policy` / `attention_quant` must reach the
+    model config (no dead keys — the strict-override philosophy) and
+    invalid values must fail at build time, not at trace time."""
+    import pytest
+
+    from maest_tpu.models.registry import build_config
+
+    cfg = build_config("discogs-maest-5s-pw-129e", remat=True,
+                       remat_policy="dots", attention_quant="qk8")
+    assert cfg.remat and cfg.remat_policy == "dots"
+    assert cfg.attention_quant == "qk8"
+    with pytest.raises(ValueError, match="attention_quant"):
+        build_config("discogs-maest-5s-pw-129e", attention_quant="int4")
+    with pytest.raises(ValueError, match="remat_policy"):
+        build_config("discogs-maest-5s-pw-129e", remat_policy="everything")
+
+    import inspect
+
+    from maest_tpu import configs
+    from maest_tpu.train import loop as loop_mod
+
+    for key in ("remat", "remat_policy", "attention_quant"):
+        assert key in configs.default_config()["maest"]
+        assert f'm.get("{key}"' in inspect.getsource(loop_mod)
