@@ -222,6 +222,7 @@ def get_maest(
     remat: bool = False,
     remat_policy: str = "full",
     attention_quant: str = "none",
+    attention_bwd_quant: str = "none",
     mesh=None,
 ) -> MAEST:
     """Build a MAEST model, optionally loading released weights.
@@ -257,6 +258,7 @@ def get_maest(
         remat=remat,
         remat_policy=remat_policy,
         attention_quant=attention_quant,
+        attention_bwd_quant=attention_bwd_quant,
     )
 
     params = init_params(cfg, jax.random.PRNGKey(seed))

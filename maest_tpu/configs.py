@@ -126,6 +126,7 @@ def default_config() -> dict:
             "remat": False,
             "remat_policy": "full",
             "attention_quant": "none",
+            "attention_bwd_quant": "none",
         },
         "module": {
             "do_swa": True,

@@ -65,6 +65,14 @@ class MAESTConfig:
     # MXU speeds up — docs/DESIGN.md round-3); provided for d>=128
     # geometries where the MXU share dominates.
     attention_quant: str = "none"
+    # int8 arithmetic for the attention BACKWARD (all five matmuls,
+    # exact-factoring per-(head,block) scales, shifted p quantization):
+    # "none" | "int8". MEASURED SLOWER (-4.0%) than bf16 at MAEST's d=64
+    # geometry — in-kernel quantize/dequant VPU passes cancel the 2x int8
+    # MXU rate (docs/DESIGN.md round-3, four scale designs A/B'd) —
+    # provided for d>=128 geometries. On-device gradients track the
+    # oracle at cos > 0.9998, worst relmax 0.024 (acceptance-gated).
+    attention_bwd_quant: str = "none"
     # rematerialize transformer blocks during training (jax.checkpoint):
     # trades ~30% more FLOPs on backward for O(depth) less activation
     # memory, buying larger per-chip batches.

@@ -124,6 +124,7 @@ def build_config(
     remat: bool = False,
     remat_policy: str = "full",
     attention_quant: str = "none",
+    attention_bwd_quant: str = "none",
 ) -> MAESTConfig:
     """Build the model config for an arch string (reference: models/maest.py:1467-1548).
 
@@ -143,6 +144,10 @@ def build_config(
         raise ValueError(
             f"unknown remat_policy {remat_policy!r}; expected 'full', "
             "'dots' or 'attn_out'")
+    if attention_bwd_quant not in ("none", "int8"):
+        raise ValueError(
+            f"unknown attention_bwd_quant {attention_bwd_quant!r}; "
+            "expected 'none' or 'int8'")
     spec = ARCHS[arch]
     if input_t is None:
         input_t = spec.default_input_t
@@ -174,4 +179,5 @@ def build_config(
         remat=remat,
         remat_policy=remat_policy,
         attention_quant=attention_quant,
+        attention_bwd_quant=attention_bwd_quant,
     )

@@ -118,7 +118,8 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     impl: str = "auto"  # "auto" | "flash" | "xla"
-    quant: str = "none"  # "none" | "qk8" | "qk8pv8" (flash path only)
+    quant: str = "none"  # "none" | "qk8" | "qk8pv8" | "fp8" | "fp8pv8"
+    bwd_quant: str = "none"  # "none" | "int8" (flash path only)
     mesh: object = None  # jax.sharding.Mesh -> shard_map'd flash kernel
     # number of REAL tokens when the residual stream is padded once for
     # the whole network (pad-once; None = all tokens are real)
@@ -164,12 +165,16 @@ class Attention(nn.Module):
 
         n_real = self.n_real if self.n_real is not None else n
         quant = None if self.quant in ("none", None) else self.quant
+        bwd_quant = (None if self.bwd_quant in ("none", None)
+                     else self.bwd_quant)
         if impl == "flash":
             if self.mesh is not None and getattr(self.mesh, "size", 1) > 1:
                 out = flash_attention_sharded(q, k, v, self.mesh,
-                                              n_real=n_real, quant=quant)
+                                              n_real=n_real, quant=quant,
+                                              bwd_quant=bwd_quant)
             else:
-                out = flash_attention(q, k, v, n_real=n_real, quant=quant)
+                out = flash_attention(q, k, v, n_real=n_real, quant=quant,
+                                      bwd_quant=bwd_quant)
             out = out.reshape(b, n, c)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
@@ -236,6 +241,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     attn_quant: str = "none"
+    attn_bwd_quant: str = "none"
     gelu_approx: str = "auto"
     mesh: object = None
     sequence_parallel: bool = False
@@ -264,7 +270,8 @@ class Block(nn.Module):
         attn = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop, dtype=self.dtype,
-            impl=self.attn_impl, quant=self.attn_quant, mesh=self.mesh,
+            impl=self.attn_impl, quant=self.attn_quant,
+            bwd_quant=self.attn_bwd_quant, mesh=self.mesh,
             n_real=self.n_real, name="attn",
         )
         if return_self_attention:
@@ -314,6 +321,7 @@ def block_kwargs(cfg, dtype, *, drop_path_rate: float = 0.0, mesh=None,
         dtype=dtype,
         attn_impl=cfg.attention_impl,
         attn_quant=cfg.attention_quant,
+        attn_bwd_quant=cfg.attention_bwd_quant,
         gelu_approx=cfg.gelu_approx,
         mesh=mesh,
         sequence_parallel=(cfg.sequence_parallel if sequence_parallel is None

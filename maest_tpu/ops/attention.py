@@ -438,6 +438,172 @@ def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref, lse_ref,
                 dv_ref[h, base:base + block_k, :] += dv_blk
 
 
+def _q8_tensor(x):
+    """In-kernel symmetric int8 quantization of a VMEM-resident tensor
+    with ONE scale (per head-slice). Scalar scales factor exactly out of
+    any contraction and fold into multiply passes the kernel already
+    does; finer per-row/column scales measured net-slower (their
+    broadcast dequants cost more VPU than the int8 MXU saves)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-30
+                        ) * (1.0 / 127.0)
+    return jnp.round(x.astype(jnp.float32) * (1.0 / scale)
+                     ).astype(jnp.int8), scale
+
+
+def _attn_bwd_kernel_q8(q_ref, kt_ref, v_ref, do_ref, o_ref, lse_ref,
+                        dq_ref, dk_ref, dv_ref, *, scale: float,
+                        n_real: int):
+    """int8 full-K backward program (one q-block, g heads).
+
+    All five matmuls run int8 on the MXU (int32 accumulation) — the
+    backward is MXU-dominated (~2.6:1 vs the forward's ~1:1), so unlike
+    the forward the 2x int8 rate survives the extra dequant VPU passes:
+    rig-measured 2.5 vs 4.7 ms/call at the 30 s train shape
+    (scripts/bwd_int8_probe.py). Inputs are the SAME bf16 tensors as the
+    bf16 kernel; quantization happens HERE, in VMEM, on the (n, 64)-class
+    operands — a first draft quantized in XLA outside and its HBM
+    round-trips cost 3 ms/layer, inverting the win end-to-end
+    (docs/DESIGN.md round-3). All scales are per-(head, q-block) SCALARS
+    (finer granularity measured net-slower — its broadcast dequants cost
+    more VPU than the int8 MXU saves), factoring exactly:
+
+      s  = s_int · qs·ks·sl          p8 = round(p·127/pst)
+      dp = dp_int · dos·vs           (pst: dynamic block-max p scale —
+      dv = dv_int · dos·pst/127       ~100x finer for diffuse attention)
+      dq = dq_int · dst·ks/127       (dst: dynamic ds scale)
+      dk = dk_int · dst·qs/127
+
+    Gradient quantization noise is the accuracy cost (p and ds requantize
+    to 8 bits); measured bounds live in tests/test_flash_attention.py and
+    docs/DESIGN.md. Padded q rows carry zero ``do``; padded keys get
+    masked scores, so padding contributes nothing, as in the bf16 kernel.
+    """
+    j = pl.program_id(1)
+    n_pad = kt_ref.shape[2]
+    sl = scale * _LOG2E
+    for h in range(q_ref.shape[0]):
+        q = q_ref[h]          # (bq, d) bf16
+        kt = kt_ref[h]        # (d, n_pad) bf16
+        v = v_ref[h]          # (n_pad, d) bf16
+        do = do_ref[h]        # (bq, d) bf16
+        lse = lse_ref[h, 0][:, None]
+        delta = jnp.sum(
+            do.astype(jnp.float32) * o_ref[h].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+
+        # per-(head, block)-tensor scales: scalars factor EXACTLY out of
+        # every contraction AND fold into multiply passes the kernel does
+        # anyway — the earlier per-row/per-column variant spent more VPU
+        # on its broadcast dequants than the int8 MXU saved (A/B'd).
+        q8, qs = _q8_tensor(q)
+        kt8, ks = _q8_tensor(kt)
+        v8, vs = _q8_tensor(v)
+        do8, dos = _q8_tensor(do)
+
+        s_int = jnp.dot(q8, kt8, preferred_element_type=jnp.int32)
+        s = s_int.astype(jnp.float32) * (qs * ks * sl)
+        if n_real < n_pad:
+            pos = jax.lax.broadcasted_iota(jnp.int32, (1, n_pad), 1)
+            s = jnp.where(pos < n_real, s, _NEG_INF)
+        p = jnp.exp2(s - lse)
+        # DYNAMIC p scale, two reasons: (1) diffuse attention rows have
+        # max p << 1, so scaling by the block max instead of a static 127
+        # buys up to ~100x finer resolution exactly when quantization
+        # noise is worst; (2) a CONSTANT-scale round-to-int8 feeding a
+        # dim-0-contracted dot miscompiles to zeros in the grouped kernel
+        # (Mosaic const-fold bug, g>1 only — caught by the on-device
+        # acceptance check; a traced scalar scale lowers correctly).
+        pst = jnp.maximum(jnp.max(p), 1e-30)
+        p8 = jnp.round(p * (127.0 / pst)).astype(jnp.int8)
+
+        dv_int = jax.lax.dot_general(
+            p8, do8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)  # (n_pad, d)
+        dv = dv_int.astype(jnp.float32) * (dos * pst * (1.0 / 127.0))
+
+        dp_int = jax.lax.dot_general(
+            do8, v8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)  # (bq, n_pad)
+        dp = dp_int.astype(jnp.float32) * (dos * vs)
+
+        ds = p * (dp - delta) * scale
+        dst = jnp.maximum(jnp.max(jnp.abs(ds)), 1e-30)
+        ds8 = jnp.round(ds * (127.0 / dst)).astype(jnp.int8)
+
+        # dq = ds @ k: contract over keys = the LANES of both ds8 and kt8
+        dq_int = jax.lax.dot_general(
+            ds8, kt8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)  # (bq, d)
+        dq = dq_int.astype(jnp.float32) * (dst * ks * (1.0 / 127.0))
+        dk_int = jax.lax.dot_general(
+            ds8, q8, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)  # (n_pad, d)
+        dk = dk_int.astype(jnp.float32) * (dst * qs * (1.0 / 127.0))
+
+        dq_ref[h] = dq.astype(dq_ref.dtype)
+
+        @pl.when(j == 0)
+        def _init():
+            dk_ref[h] = dk
+            dv_ref[h] = dv
+
+        @pl.when(j > 0)
+        def _acc():
+            dk_ref[h] += dk
+            dv_ref[h] += dv
+
+
+def _flash_bwd_q8(q, k, v, o, lse, g, *, block_q: int, interpret: bool,
+                  n_real: int | None = None):
+    """int8 backward driver. Operand layout and specs are IDENTICAL to the
+    bf16 ``_flash_bwd`` (quantization lives inside the kernel); full-K
+    only — the > _FULL_K_BWD_MAX_N_PAD split path stays bf16 (beyond
+    every shipped training shape)."""
+    b, n, h, d = q.shape
+    scale = d**-0.5
+    n_pad = _round_up(n, 128)
+    bq = _pick_block(n_pad, block_q)
+
+    qf, kf, vf, dof, of = _flatten_pad(n_pad, q, k, v, g, o)
+    kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
+
+    grp = (_pick_group(n_pad, b * h, _TUNED_BWD_GROUP)
+           if bq == n_pad else 1)
+    grid = (b * h // grp, n_pad // bq)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel_q8, scale=scale,
+                          n_real=n if n_real is None else n_real),
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
+        ],
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((grp, bq, d), lambda i, j: (i, j, 0)),     # q
+            pl.BlockSpec((grp, d, n_pad), lambda i, j: (i, 0, 0)),  # kT
+            pl.BlockSpec((grp, n_pad, d), lambda i, j: (i, 0, 0)),  # v
+            pl.BlockSpec((grp, bq, d), lambda i, j: (i, j, 0)),     # do
+            pl.BlockSpec((grp, bq, d), lambda i, j: (i, j, 0)),     # o
+            pl.BlockSpec((grp, 1, bq), lambda i, j: (i, 0, j)),     # lse
+        ],
+        out_specs=[
+            pl.BlockSpec((grp, bq, d), lambda i, j: (i, j, 0)),     # dq
+            pl.BlockSpec((grp, n_pad, d), lambda i, j: (i, 0, 0)),  # dk
+            pl.BlockSpec((grp, n_pad, d), lambda i, j: (i, 0, 0)),  # dv
+        ],
+        interpret=interpret,
+        compiler_params=_GROUPED_VMEM if grp > 1 else None,
+    )(qf, kt, vf, dof, of, lse)
+
+    return (
+        _unflatten(dq, b, n, h, d),
+        _unflatten(dk, b, n, h, d).astype(k.dtype),
+        _unflatten(dv, b, n, h, d).astype(v.dtype),
+    )
+
+
 def _bwd_body(q, do, o, lse, load_kt, load_v, v_dtype, *, scale: float,
               n_real: int, block_k: int, n_pad: int):
     """Backward math for one head's q block. Returns (dq, [(base, dk_blk,
@@ -743,16 +909,18 @@ def _validate_tuned_blocks(table=None):
 _validate_tuned_blocks()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _flash_attention_vjp(q, k, v, block_q: int, block_k: int,
-                         interpret: bool, n_real: int, quant: str | None):
+                         interpret: bool, n_real: int, quant: str | None,
+                         bwd_quant: str | None):
     return _flash_fwd(q, k, v, block_q=block_q, block_k=block_k,
                       interpret=interpret, n_real=n_real, quant=quant)
 
 
 def flash_attention(q, k, v, block_q: int | None = None,
                     block_k: int | None = None, interpret: bool = False,
-                    n_real: int | None = None, quant: str | None = None):
+                    n_real: int | None = None, quant: str | None = None,
+                    bwd_quant: str | None = None):
     """Fused multi-head attention; inputs/outputs (B, N, H, D).
 
     ``n_real``: number of REAL tokens when the caller already padded the
@@ -777,14 +945,18 @@ def flash_attention(q, k, v, block_q: int | None = None,
     n_pad = _round_up(q.shape[1], 128)
     if n_pad not in _TUNED_FWD_BLOCKS and n_pad not in _FWD_MEASURED_GENERIC:
         _note_untuned(n_pad, "fwd blocks", (896, 448))
+    if bwd_quant not in (None, "none", "int8"):
+        raise ValueError(f"unknown attention bwd_quant mode {bwd_quant!r}; "
+                         "expected None or 'int8'")
     tq, tk = _TUNED_FWD_BLOCKS.get(n_pad, (896, 448))
     return _flash_attention_vjp(q, k, v, block_q or tq, block_k or tk,
                                 interpret,
                                 q.shape[1] if n_real is None else n_real,
-                                quant)
+                                quant,
+                                None if bwd_quant == "none" else bwd_quant)
 
 
-def _fwd(q, k, v, block_q, block_k, interpret, n_real, quant):
+def _fwd(q, k, v, block_q, block_k, interpret, n_real, quant, bwd_quant):
     out, lse = _flash_fwd_lse(q, k, v, block_q=block_q, block_k=block_k,
                               interpret=interpret, n_real=n_real,
                               quant=quant)
@@ -814,7 +986,7 @@ def _pick_bwd_block(n_pad: int) -> int:
     return best
 
 
-def _bwd(block_q, block_k, interpret, n_real, quant, res, g):
+def _bwd(block_q, block_k, interpret, n_real, quant, bwd_quant, res, g):
     q, k, v, o, lse = res
     # Backward q blocks are picked by the VMEM rule above, independent of
     # the forward tuning; the kernel always sees the FULL key range per
@@ -830,9 +1002,15 @@ def _bwd(block_q, block_k, interpret, n_real, quant, res, g):
         # (1152, 1152) 7.0 ms vs (256, 256) 9.2 ms (-23%) — big square
         # blocks amortize the streamed-side refetch; 1536^2 regresses
         # (VMEM pressure) and 2304^2 fails to compile.
+        # the int8 backward is full-K only; beyond-VMEM sequences (outside
+        # every shipped training shape) stay on the bf16 split kernels
         return _flash_bwd_split(q, k, v, o, lse, g,
                                 block_q=1152, block_k=1152,
                                 interpret=interpret, n_real=n_real)
+    if bwd_quant == "int8":
+        return _flash_bwd_q8(q, k, v, o, lse, g,
+                             block_q=_pick_bwd_block(n_pad),
+                             interpret=interpret, n_real=n_real)
     return _flash_bwd(q, k, v, o, lse, g, block_q=_pick_bwd_block(n_pad),
                       block_k=1 << 30, interpret=interpret, n_real=n_real)
 
@@ -844,7 +1022,8 @@ def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
                             block_k: int | None = None,
                             interpret: bool = False,
                             n_real: int | None = None,
-                            quant: str | None = None):
+                            quant: str | None = None,
+                            bwd_quant: str | None = None):
     """flash_attention under a multi-device mesh via shard_map.
 
     Attention is embarrassingly parallel over (batch, heads): batch shards
@@ -868,7 +1047,8 @@ def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
 
     fn = shard_map(
         partial(flash_attention, block_q=block_q, block_k=block_k,
-                interpret=interpret, n_real=n_real, quant=quant),
+                interpret=interpret, n_real=n_real, quant=quant,
+                bwd_quant=bwd_quant),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

@@ -232,7 +232,10 @@ def _make_tp_block(cfg: MAESTConfig, dtype, n_real: Optional[int]):
         if impl == "flash":
             quant = (None if cfg.attention_quant in ("none", None)
                      else cfg.attention_quant)
-            out = flash_attention(q, k, v, n_real=nr, quant=quant)
+            bwd_quant = (None if cfg.attention_bwd_quant in ("none", None)
+                         else cfg.attention_bwd_quant)
+            out = flash_attention(q, k, v, n_real=nr, quant=quant,
+                                  bwd_quant=bwd_quant)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
                               preferred_element_type=jnp.float32,

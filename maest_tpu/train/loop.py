@@ -93,6 +93,7 @@ def _build_model(cfg: dict, dtype):
         remat=m.get("remat", False),
         remat_policy=m.get("remat_policy", "full"),
         attention_quant=m.get("attention_quant", "none"),
+        attention_bwd_quant=m.get("attention_bwd_quant", "none"),
     )
     return wrapper
 

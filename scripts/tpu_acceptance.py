@@ -71,6 +71,27 @@ def main():
     gerr = float(np.abs(g - g_ref).max() / (np.abs(g_ref).max() + 1e-9))
     check("flash_bwd_vs_oracle", gerr < 2e-2, f"rel max|d|={gerr:.2e}")
 
+    # -- 1a. int8 backward (attention_bwd_quant) on real Mosaic lowering ----
+    # interpret mode does not catch Mosaic int8 issues; gate the gradient
+    # cosine + magnitude on device (diffuse random-init attention is the
+    # quantization worst case).
+    g8 = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, bwd_quant="int8") ** 2),
+        argnums=(0, 1, 2)))(q, k, v)
+    worst_cos, worst_rel = 1.0, 0.0
+    gref3 = jax.jit(jax.grad(
+        lambda q, k, v: jnp.sum(attention_reference(q, k, v) ** 2),
+        argnums=(0, 1, 2)))(q, k, v)
+    for a, r in zip(g8, gref3):
+        a, r = np.asarray(a, np.float64), np.asarray(r, np.float64)
+        worst_cos = min(worst_cos, float(
+            (a * r).sum() / (np.linalg.norm(a) * np.linalg.norm(r) + 1e-30)))
+        worst_rel = max(worst_rel, float(
+            np.abs(a - r).max() / (np.abs(r).max() + 1e-30)))
+    check("int8_bwd_grad_vs_oracle", worst_cos > 0.999 and worst_rel < 0.15,
+          f"min cos={worst_cos:.5f} worst relmax={worst_rel:.3f}")
+
     # -- 1b. larger-than-VMEM split backward (n_pad > 4096 dispatch) ----------
     n_long = 4600  # pads to 4608 > _FULL_K_BWD_MAX_N_PAD -> split kernels
     ql, kl, vl = (

@@ -268,12 +268,15 @@ def test_tpu_execution_knobs_config_keys_wired():
         build_config("discogs-maest-5s-pw-129e", attention_quant="int4")
     with pytest.raises(ValueError, match="remat_policy"):
         build_config("discogs-maest-5s-pw-129e", remat_policy="everything")
+    with pytest.raises(ValueError, match="attention_bwd_quant"):
+        build_config("discogs-maest-5s-pw-129e", attention_bwd_quant="fp8")
 
     import inspect
 
     from maest_tpu import configs
     from maest_tpu.train import loop as loop_mod
 
-    for key in ("remat", "remat_policy", "attention_quant"):
+    for key in ("remat", "remat_policy", "attention_quant",
+                "attention_bwd_quant"):
         assert key in configs.default_config()["maest"]
         assert f'm.get("{key}"' in inspect.getsource(loop_mod)

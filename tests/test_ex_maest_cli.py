@@ -175,16 +175,13 @@ def test_train_pipeline_fsdp(corpus, tmp_path):
 
 
 def test_pipeline_parallel_guards(corpus, tmp_path):
-    """PP rejects composing with SP and rejects the extraction command."""
+    """PP rejects composing with SP. (Extraction under PP no longer
+    raises — it degrades to the sequential tap path, covered by
+    test_extract_embeddings_under_pipeline_parallel.)"""
     with pytest.raises(ValueError, match="pipeline_parallel does not"):
         run(["main", "with"] + _overrides(corpus, tmp_path, [
             "trainer.devices=4", "trainer.pipeline_parallel=2",
             "trainer.sequence_parallel=True",
-        ]))
-    with pytest.raises(NotImplementedError, match="extraction"):
-        run(["extract_embeddings", "with"] + _overrides(corpus, tmp_path, [
-            "trainer.devices=4", "trainer.pipeline_parallel=2",
-            "trainer.num_microbatches=2",
         ]))
 
 

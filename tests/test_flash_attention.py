@@ -238,3 +238,48 @@ def test_quant_rejects_unknown_mode():
                _rand(k3, (1, 128, 2, 64)))
     with pytest.raises(ValueError, match="quant"):
         flash_attention(q, k, v, interpret=True, quant="int4")
+
+
+def test_int8_backward_gradients_track_oracle():
+    """bwd_quant='int8': all five backward matmuls in int8 with
+    exact-factoring scales. Gradients carry quantization noise but must
+    track the oracle's direction (cosine) and magnitude closely even in
+    the diffuse-attention worst case (random init)."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(11), 3)
+    b, n, h, d = 1, 150, 2, 64  # padding exercised (150 -> 256)
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+
+    def grads(fn, **kw):
+        def loss(q, k, v):
+            return (fn(q, k, v, **kw) * jnp.cos(jnp.arange(d))).sum()
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    ref = grads(attention_reference)
+    got = grads(flash_attention, interpret=True, bwd_quant="int8")
+    for name, a, b_ in zip(("dq", "dk", "dv"), ref, got):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        cos = float((a * b_).sum() / (np.linalg.norm(a) * np.linalg.norm(b_)))
+        relmax = float(np.abs(b_ - a).max() / np.abs(a).max())
+        assert cos > 0.999, (name, cos)
+        assert relmax < 0.15, (name, relmax)
+
+
+def test_int8_backward_forward_unchanged():
+    """bwd_quant only affects the backward; the primal must be bit-equal
+    to the plain flash forward."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(12), 3)
+    b, n, h, d = 1, 140, 2, 64
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+    a = flash_attention(q, k, v, interpret=True)
+    b_ = flash_attention(q, k, v, interpret=True, bwd_quant="int8")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_bwd_quant_rejects_unknown_mode():
+    import pytest
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(13), 3)
+    q, k, v = (_rand(k1, (1, 128, 2, 64)), _rand(k2, (1, 128, 2, 64)),
+               _rand(k3, (1, 128, 2, 64)))
+    with pytest.raises(ValueError, match="bwd_quant"):
+        flash_attention(q, k, v, interpret=True, bwd_quant="fp8")
