@@ -68,33 +68,46 @@ def run(argv: list[str]) -> dict:
         print(f"mean={mean} std={std}")
         return {"mean": mean, "std": std}
 
+    run_info = {
+        "command": command, "presets": presets, "overrides": overrides,
+    }
     if command == "main" and cfg["trainer"].get("resilient"):
         # restart-from-checkpoint on infrastructure failures (preemption,
         # worker loss); beyond reference scope — see train/resilience.py
         from ..train.resilience import fit_with_recovery
 
-        return fit_with_recovery(cfg)
+        return fit_with_recovery(
+            cfg, trainer_factory=lambda c: Trainer(c, run_info=run_info))
 
-    trainer = Trainer(cfg, run_info={
-        "command": command, "presets": presets, "overrides": overrides,
-    })
+    trainer = Trainer(cfg, run_info=run_info)
     if command == "main":
-        return trainer.fit()
-    if command == "test":
-        if cfg.get("ckpt_path"):
-            trainer.restore_checkpoint(cfg["ckpt_path"])
-        res = trainer.test()
-        print(json.dumps(res, indent=2))
-        return res
-    if command in ("extract_embeddings", "extract_logits"):
-        if cfg.get("ckpt_path"):
-            trainer.restore_checkpoint(cfg["ckpt_path"])
-        output_name = command.split("_", 1)[1].rstrip("s")
-        output_name = {"embedding": "embeddings", "logit": "logits"}[output_name]
-        res = trainer.predict(output_name=output_name)
-        print(json.dumps(res, indent=2))
-        return res
-    raise SystemExit(f"unknown command {command}")
+        return trainer.fit()  # fit finalizes its own run.json
+    # non-fit commands also own a run dir whose run.json says RUNNING
+    # until finalized — a completed `test` must not read as a live run
+    from ..utils.run_record import finalize_run_json
+
+    try:
+        if command == "test":
+            if cfg.get("ckpt_path"):
+                trainer.restore_checkpoint(cfg["ckpt_path"])
+            res = trainer.test()
+        elif command in ("extract_embeddings", "extract_logits"):
+            if cfg.get("ckpt_path"):
+                trainer.restore_checkpoint(cfg["ckpt_path"])
+            output_name = command.split("_", 1)[1].rstrip("s")
+            output_name = {
+                "embedding": "embeddings", "logit": "logits"}[output_name]
+            res = trainer.predict(output_name=output_name)
+        else:
+            raise SystemExit(f"unknown command {command}")
+    except SystemExit:
+        raise
+    except BaseException:
+        finalize_run_json(trainer.run_dir, "FAILED")
+        raise
+    finalize_run_json(trainer.run_dir, "COMPLETED", res)
+    print(json.dumps(res, indent=2))
+    return res
 
 
 def main():

@@ -37,9 +37,10 @@ def default_config() -> dict:
     return {
         "max_epochs": max_epochs,
         "seed": 0,
-        # "" disables run-record output (hermetic library calls); the CLI
-        # default mirrors the reference's FileStorageObserver("exp_logs")
-        # (reference: ex_tl.py:22)
+        # "" disables run-record output (hermetic library calls); main()
+        # switches the CLI default to "exp_logs", mirroring the
+        # reference's FileStorageObserver("exp_logs") (reference:
+        # ex_tl.py:22)
         "exp_dir": "",
         "trainer": {"max_epochs": max_epochs},
         "optimizer": {
@@ -215,68 +216,76 @@ def tl_pipeline(cfg: Optional[dict] = None) -> dict:
         write_run_json(run_dir, cfg, {"command": "tl_pipeline"})
         metrics_log = MetricsLog(run_dir / "metrics.jsonl")
 
-    x_train, y_train = split("train")
-    x_val, y_val = split("validation")
-    x_test, y_test = split("test")
+    try:
+        x_train, y_train = split("train")
+        x_val, y_val = split("validation")
+        x_test, y_test = split("test")
 
-    model = ProbeMLP(
-        cfg["model"]["hidden_units"], data_cfg["n_classes"], cfg["model"]["drop_out"]
-    )
-    rng = jax.random.PRNGKey(cfg.get("seed", 0))
-    params = model.init(
-        {"params": rng}, jnp.zeros((1, in_features)), train=False
-    )["params"]
+        model = ProbeMLP(
+            cfg["model"]["hidden_units"], data_cfg["n_classes"], cfg["model"]["drop_out"]
+        )
+        rng = jax.random.PRNGKey(cfg.get("seed", 0))
+        params = model.init(
+            {"params": rng}, jnp.zeros((1, in_features)), train=False
+        )["params"]
 
-    bs = data_cfg["batch_size"]
-    steps_per_epoch = max(1, len(x_train) // bs)
-    sched = _make_scheduler(cfg["optimizer"], steps_per_epoch)
-    tx = optax.adamw(sched, weight_decay=cfg["optimizer"]["weight_decay"])
-    opt_state = tx.init(params)
+        bs = data_cfg["batch_size"]
+        steps_per_epoch = max(1, len(x_train) // bs)
+        sched = _make_scheduler(cfg["optimizer"], steps_per_epoch)
+        tx = optax.adamw(sched, weight_decay=cfg["optimizer"]["weight_decay"])
+        opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, x, y, key):
-        def loss_fn(p):
-            logits = model.apply({"params": p}, x, train=True,
-                                 rngs={"dropout": key})
-            return bce_with_logits(logits, y)
+        @jax.jit
+        def train_step(params, opt_state, x, y, key):
+            def loss_fn(p):
+                logits = model.apply({"params": p}, x, train=True,
+                                     rngs={"dropout": key})
+                return bce_with_logits(logits, y)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
 
-    @jax.jit
-    def infer(params, x):
-        return jax.nn.sigmoid(model.apply({"params": params}, x, train=False))
+        @jax.jit
+        def infer(params, x):
+            return jax.nn.sigmoid(model.apply({"params": params}, x, train=False))
 
-    def evaluate(params, x, y):
-        y_hat = np.asarray(infer(params, jnp.asarray(x)))
-        ap, roc = macro_ap_roc(y, y_hat)
-        return ap, roc
+        def evaluate(params, x, y):
+            y_hat = np.asarray(infer(params, jnp.asarray(x)))
+            ap, roc = macro_ap_roc(y, y_hat)
+            return ap, roc
 
-    best = {"val_roc": -1.0, "params": params}
-    key = rng
-    data_rng = np.random.default_rng(cfg.get("seed", 0))
-    max_epochs = cfg["trainer"]["max_epochs"]
-    for epoch in range(max_epochs):
-        order = data_rng.permutation(len(x_train))
-        for i in range(steps_per_epoch):
-            idx = order[i * bs : (i + 1) * bs]
-            key, k = jax.random.split(key)
-            params, opt_state, loss = train_step(
-                params, opt_state, jnp.asarray(x_train[idx]),
-                jnp.asarray(y_train[idx]), k,
-            )
-        val_ap, val_roc = evaluate(params, x_val, y_val)
-        _logger.info("epoch %d loss=%.4f val_ap=%.4f val_roc=%.4f",
-                     epoch, float(loss), val_ap, val_roc)
-        if metrics_log is not None:
-            for name, value in (("train_loss", float(loss)),
-                                ("val_ap", val_ap), ("val_roc", val_roc)):
-                metrics_log.log(name, value, epoch)
-        if val_roc > best["val_roc"]:
-            best = {"val_roc": val_roc, "params": jax.tree.map(np.asarray, params)}
+        best = {"val_roc": -1.0, "params": params}
+        key = rng
+        data_rng = np.random.default_rng(cfg.get("seed", 0))
+        max_epochs = cfg["trainer"]["max_epochs"]
+        for epoch in range(max_epochs):
+            order = data_rng.permutation(len(x_train))
+            for i in range(steps_per_epoch):
+                idx = order[i * bs : (i + 1) * bs]
+                key, k = jax.random.split(key)
+                params, opt_state, loss = train_step(
+                    params, opt_state, jnp.asarray(x_train[idx]),
+                    jnp.asarray(y_train[idx]), k,
+                )
+            val_ap, val_roc = evaluate(params, x_val, y_val)
+            _logger.info("epoch %d loss=%.4f val_ap=%.4f val_roc=%.4f",
+                         epoch, float(loss), val_ap, val_roc)
+            if metrics_log is not None:
+                for name, value in (("train_loss", float(loss)),
+                                    ("val_ap", val_ap), ("val_roc", val_roc)):
+                    metrics_log.log(name, value, epoch)
+            if val_roc > best["val_roc"]:
+                best = {"val_roc": val_roc, "params": jax.tree.map(np.asarray, params)}
 
-    test_ap, test_roc = evaluate(best["params"], x_test, y_test)
+        test_ap, test_roc = evaluate(best["params"], x_test, y_test)
+    except BaseException:
+        # a crashed run must not read as RUNNING forever in its record
+        if run_dir is not None:
+            from ..utils.run_record import finalize_run_json
+
+            finalize_run_json(run_dir, "FAILED")
+        raise
     result = {
         "val_roc": best["val_roc"],
         "test_ap": test_ap,
@@ -313,7 +322,12 @@ def main():
 
     logging.basicConfig(level=logging.INFO)
     enable_compilation_cache()
-    cfg = _apply_overrides(default_config(), sys.argv[1:])
+    base = default_config()
+    # CLI runs record by default like the reference's Sacred observer
+    # (FileStorageObserver("exp_logs"), reference: ex_tl.py:22); library
+    # callers of tl_pipeline() stay hermetic with exp_dir="".
+    base["exp_dir"] = "exp_logs"
+    cfg = _apply_overrides(base, sys.argv[1:])
     tl_pipeline(cfg)
 
 

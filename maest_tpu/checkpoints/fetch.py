@@ -17,7 +17,6 @@ from __future__ import annotations
 import hashlib
 import http.client
 import os
-import shutil
 import tempfile
 import urllib.error
 import urllib.request
@@ -61,8 +60,11 @@ def fetch_checkpoint(spec: ArchSpec, dest: str | os.PathLike | None = None,
     tmp = Path(tmp_name)
     try:
         digest = hashlib.sha256()
-        with urllib.request.urlopen(spec.url, timeout=timeout) as resp, \
-                os.fdopen(fd, "wb") as out:
+        # fdopen takes ownership of fd; open it FIRST so an early urlopen
+        # failure cannot leak the descriptor (retried fetches during a
+        # relay outage would otherwise accumulate fds toward EMFILE)
+        with os.fdopen(fd, "wb") as out, \
+                urllib.request.urlopen(spec.url, timeout=timeout) as resp:
             while True:
                 chunk = resp.read(1 << 20)
                 if not chunk:
@@ -70,6 +72,10 @@ def fetch_checkpoint(spec: ArchSpec, dest: str | os.PathLike | None = None,
                 digest.update(chunk)
                 out.write(chunk)
         _verify_digest(spec, digest.hexdigest())
+        # mkstemp creates 0600; restore umask-governed perms so a shared
+        # MAEST_TPU_CACHE stays readable by other users, as the previous
+        # plain-open staging did
+        os.chmod(tmp, 0o666 & ~_current_umask())
         os.replace(tmp, dest)
     except (urllib.error.URLError, TimeoutError, OSError,
             http.client.HTTPException) as err:
@@ -80,6 +86,12 @@ def fetch_checkpoint(spec: ArchSpec, dest: str | os.PathLike | None = None,
     finally:
         tmp.unlink(missing_ok=True)
     return dest
+
+
+def _current_umask() -> int:
+    mask = os.umask(0)
+    os.umask(mask)
+    return mask
 
 
 def _verify_digest(spec: ArchSpec, got: str) -> None:

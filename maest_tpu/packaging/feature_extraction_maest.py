@@ -149,8 +149,11 @@ class MAESTFeatureExtractor(SequenceFeatureExtractor):
             raise ValueError(
                 f"expected {self.sampling_rate} Hz input, got {sampling_rate}"
             )
+        # HF convention (cf. ASTFeatureExtractor): a bare list of FLOATS is
+        # ONE waveform; only a list of sequences (arrays/lists) is a batch
         batched = bool(
-            isinstance(raw_speech, (list, tuple))
+            (isinstance(raw_speech, (list, tuple)) and len(raw_speech) > 0
+             and isinstance(raw_speech[0], (list, tuple, np.ndarray)))
             or (isinstance(raw_speech, np.ndarray) and raw_speech.ndim == 2)
         )
         waves = raw_speech if batched else [raw_speech]

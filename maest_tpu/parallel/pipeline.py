@@ -52,6 +52,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.config import MAESTConfig
@@ -252,6 +253,10 @@ def _make_tp_block(cfg: MAESTConfig, dtype, n_real: Optional[int]):
             attn = attn.astype(dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", attn, v, precision=prec)
 
+        # mirror models.vit.Attention: remat_policy="attn_out" saves this
+        # tensor — without the tag the policy would silently degrade to
+        # full recompute on the TP pipeline path
+        out = _checkpoint_name(out, "attn_out")
         o = jnp.einsum("bnhd,hde->bne", out,
                        p["attn"]["proj"]["kernel"].astype(dtype),
                        precision=prec)

@@ -108,6 +108,27 @@ def _dataset_cfg(cfg: dict) -> DatasetConfig:
     )
 
 
+def swa_epoch_window(swa_epoch_start: int, max_epochs: int,
+                     epoch: int) -> bool:
+    """Does this END-of-(0-based)-``epoch`` moment fall in Lightning's SWA
+    averaging window?
+
+    Lightning's ``StochasticWeightAveraging`` updates the average at the
+    START of each 0-based epoch in [swa_epoch_start-1, max_epochs-1]
+    (reference: helpers/swa_callback.py + Lightning ``swa_start``) — i.e.
+    it snapshots the weights AFTER epochs swa_epoch_start-2..max_epochs-2
+    and never the final epoch's. This mirrors that window for an
+    end-of-epoch hook, keeping the averaging phase aligned with the SWALR
+    LR swap (train/schedules.py::swa_lr_overlay, swap at 0-based
+    swa_epoch_start-1). Corner: Lightning's swa_epoch_start<=1 would also
+    average the INITIAL weights — unreachable from an end-of-epoch hook
+    and outside every shipped recipe (a 1-epoch start<=1 run then
+    performs no update, leaving the SWA buffer = the initial copy, which
+    IS Lightning's average in that degenerate case).
+    """
+    return swa_epoch_start - 2 <= epoch <= max_epochs - 2
+
+
 def _precision_dtype(precision: str):
     return {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
             "fp32": jnp.float32, "32": jnp.float32,
@@ -465,7 +486,8 @@ class Trainer:
                         break
                 # SWA (reference: helpers/swa_callback.py:9-15; start epoch
                 # models/module.py:25)
-                if mod["do_swa"] and self.epoch >= mod["swa_epoch_start"]:
+                if mod["do_swa"] and swa_epoch_window(
+                        mod["swa_epoch_start"], tr["max_epochs"], self.epoch):
                     self.state = swa_update(self.state)
 
                 val = self.validate()

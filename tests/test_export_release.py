@@ -78,8 +78,9 @@ def test_export_raw_params_differ_from_swa(trained_ckpt, tmp_path):
     state = load_training_checkpoint(str(trained_ckpt))
     raw, _ = select_params(state, swa=False)
     swa, _ = select_params(state, swa=True)
-    # two SWA updates happened (epochs 0 and 1 with swa_epoch_start=0):
-    # the running average must differ from the final raw params by value
+    # one SWA update happened (end of epoch 0; the Lightning window
+    # excludes the final epoch — train/loop.py::swa_epoch_window): the
+    # average must differ from the final raw params by value
     raw_k = np.asarray(raw["blocks_0"]["attn"]["qkv"]["kernel"], np.float32)
     swa_k = np.asarray(swa["blocks_0"]["attn"]["qkv"]["kernel"], np.float32)
     assert not np.allclose(raw_k, swa_k)

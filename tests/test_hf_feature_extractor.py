@@ -105,3 +105,18 @@ def test_export_runs_end_to_end_in_transformers(export_dir, wave):
     )
     np.testing.assert_allclose(np.asarray(ours), hf_logits,
                                atol=5e-4, rtol=5e-4)
+
+
+def test_list_of_floats_is_one_waveform():
+    """HF convention (ASTFeatureExtractor): a bare List[float] is ONE
+    waveform, not a batch of 0-d scalars."""
+    fe = MAESTFeatureExtractor()
+    wave = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
+    out_list = fe(wave.tolist())
+    out_arr = fe(wave)
+    assert out_list["input_values"].shape == out_arr["input_values"].shape
+    np.testing.assert_allclose(out_list["input_values"],
+                               out_arr["input_values"], atol=1e-6)
+    # and a list of arrays is still a batch
+    out_batch = fe([wave, wave])
+    assert out_batch["input_values"].shape[0] == 2

@@ -122,3 +122,22 @@ def test_swa_freq_override_rejected_with_pointer():
     assert "swa_freq" not in cfg["module"]
     with pytest.raises(KeyError, match="dead in the reference too"):
         apply_override(cfg, ["module", "swa_freq"], 5)
+
+
+def test_swa_epoch_window_matches_lightning():
+    """Weight-averaging window (end-of-epoch hook) must mirror Lightning's
+    start-of-epoch updates over [swa_epoch_start-1, max_epochs-1]: the
+    averaged snapshots are the weights after epochs
+    swa_epoch_start-2 .. max_epochs-2 — aligned with the SWALR swap and
+    never including the final epoch."""
+    from maest_tpu.train.loop import swa_epoch_window
+
+    # reference recipe: start=50, 130 epochs -> snapshots after 48..128
+    hits = [e for e in range(130) if swa_epoch_window(50, 130, e)]
+    assert hits == list(range(48, 129))
+    # degenerate smoke-test shape: start=0, 1 epoch -> no update at all
+    # (Lightning's average there is the initial weights; our SWA buffer
+    # keeps its initial copy, which is the same thing)
+    assert [e for e in range(1) if swa_epoch_window(0, 1, e)] == []
+    # start=0, 2 epochs -> exactly one update, after epoch 0
+    assert [e for e in range(2) if swa_epoch_window(0, 2, e)] == [0]
