@@ -24,7 +24,10 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 SHAPES = {
-    "30s": ("discogs-maest-30s-pw-129e", 32, 60, 1875),
+    # spt follows the pretrain presets (30s -> 90, 10s -> 30); see the
+    # geometry note in scripts/remat_ab.py (an earlier revision ran 30s
+    # at spt=60 / pad 1152)
+    "30s": ("discogs-maest-30s-pw-129e", 32, 90, 1875),
     "10s": ("discogs-maest-10s-pw-129e", 100, 30, 625),
 }
 

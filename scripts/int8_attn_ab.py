@@ -126,8 +126,10 @@ def train_ab(quants, args):
     from maest_tpu.models.vit import MAESTNet, init_params
     import optax
 
+    # spt follows the pretrain presets (30s -> 90, 10s -> 30); see the
+    # geometry note in scripts/remat_ab.py
     for tag, arch, batch, spt in (
-        ("30s-train", "discogs-maest-30s-pw-129e", 32, 60),
+        ("30s-train", "discogs-maest-30s-pw-129e", 32, 90),
         ("10s-train", "discogs-maest-10s-pw-129e", 100, 30),
     ):
         rng = np.random.default_rng(1)

@@ -33,8 +33,12 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 SHAPES = {
-    # (arch, batch, s_patchout_t, mel frames)
-    "30s": ("discogs-maest-30s-pw-129e", 32, 60, 1875),
+    # (arch, batch, s_patchout_t, mel frames). spt follows the pretrain
+    # presets (configs.py: 30s -> 90, 10s -> 30). An earlier revision ran
+    # the 30s shape at spt=60 (pad 1152, the 20s patchout) — that is the
+    # whole of the 231-vs-176 ms "harness gap" noted in docs/DESIGN.md;
+    # scripts/trainstep_bisect.py showed adamw/SWA/augment are all free.
+    "30s": ("discogs-maest-30s-pw-129e", 32, 90, 1875),
     "10s": ("discogs-maest-10s-pw-129e", 100, 30, 625),
 }
 

@@ -29,6 +29,11 @@ import numpy as np  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--spt", type=int, default=60,
+                    help="s_patchout_t (60 = the harness-gap shape, pad "
+                         "1152; 90 = the actual 30s recipe, pad 896)")
+    ap.add_argument("--only", default=None,
+                    help="run a single variant by name")
     args = ap.parse_args()
 
     from maest_tpu.models.registry import build_config
@@ -36,7 +41,7 @@ def main():
     from maest_tpu.train.state import TrainState, make_optimizer
     from maest_tpu.train.steps import AugmentConfig, make_train_step
 
-    arch, batch, spt, frames = "discogs-maest-30s-pw-129e", 32, 60, 1875
+    arch, batch, spt, frames = "discogs-maest-30s-pw-129e", 32, args.spt, 1875
     rng = np.random.default_rng(0)
     batch_d = {
         "x": jnp.asarray(
@@ -55,10 +60,15 @@ def main():
         "noswa": dict(adamw=True, with_swa=False),
         "adam+noswa": dict(adamw=False, with_swa=False),
     }
+    if args.only:
+        variants = {args.only: variants[args.only]}
     for name, kw in variants.items():
         tx = make_optimizer(lr_schedule=1e-4, adamw=kw["adamw"],
                             weight_decay=1e-4 if kw["adamw"] else 0.0)
-        state = TrainState.create(params0, tx, with_swa=kw["with_swa"])
+        # fresh device copy per variant: the step donates its state, so the
+        # previous variant consumed the buffers backing params0
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params0)
+        state = TrainState.create(params, tx, with_swa=kw["with_swa"])
         step = make_train_step(net, tx, AugmentConfig())
         state, m = step(state, batch_d, key)
         _ = float(m["train_loss"])
