@@ -79,6 +79,11 @@ def run(argv: list[str]) -> dict:
         return fit_with_recovery(
             cfg, trainer_factory=lambda c: Trainer(c, run_info=run_info))
 
+    # defensive dispatch guard BEFORE the Trainer exists: a bad command must
+    # never create a run dir whose run.json is stuck at RUNNING forever
+    if command not in ("main", "test", "extract_embeddings", "extract_logits"):
+        raise SystemExit(f"unknown command {command}")
+
     trainer = Trainer(cfg, run_info=run_info)
     if command == "main":
         return trainer.fit()  # fit finalizes its own run.json
@@ -91,16 +96,17 @@ def run(argv: list[str]) -> dict:
             if cfg.get("ckpt_path"):
                 trainer.restore_checkpoint(cfg["ckpt_path"])
             res = trainer.test()
-        elif command in ("extract_embeddings", "extract_logits"):
+        else:  # extract_embeddings / extract_logits
             if cfg.get("ckpt_path"):
                 trainer.restore_checkpoint(cfg["ckpt_path"])
             output_name = command.split("_", 1)[1].rstrip("s")
             output_name = {
                 "embedding": "embeddings", "logit": "logits"}[output_name]
             res = trainer.predict(output_name=output_name)
-        else:
-            raise SystemExit(f"unknown command {command}")
-    except SystemExit:
+    except KeyboardInterrupt:
+        # same semantics as Trainer.fit: a user cancel is INTERRUPTED,
+        # not a crash — run-triage must not count Ctrl-C as a failure
+        finalize_run_json(trainer.run_dir, "INTERRUPTED")
         raise
     except BaseException:
         finalize_run_json(trainer.run_dir, "FAILED")

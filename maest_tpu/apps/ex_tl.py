@@ -279,6 +279,13 @@ def tl_pipeline(cfg: Optional[dict] = None) -> dict:
                 best = {"val_roc": val_roc, "params": jax.tree.map(np.asarray, params)}
 
         test_ap, test_roc = evaluate(best["params"], x_test, y_test)
+    except KeyboardInterrupt:
+        # user cancel is INTERRUPTED, not a crash (matches Trainer.fit)
+        if run_dir is not None:
+            from ..utils.run_record import finalize_run_json
+
+            finalize_run_json(run_dir, "INTERRUPTED")
+        raise
     except BaseException:
         # a crashed run must not read as RUNNING forever in its record
         if run_dir is not None:
@@ -286,6 +293,9 @@ def tl_pipeline(cfg: Optional[dict] = None) -> dict:
 
             finalize_run_json(run_dir, "FAILED")
         raise
+    finally:
+        if metrics_log is not None:
+            metrics_log.close()
     result = {
         "val_roc": best["val_roc"],
         "test_ap": test_ap,

@@ -75,7 +75,7 @@ def fetch_checkpoint(spec: ArchSpec, dest: str | os.PathLike | None = None,
         # mkstemp creates 0600; restore umask-governed perms so a shared
         # MAEST_TPU_CACHE stays readable by other users, as the previous
         # plain-open staging did
-        os.chmod(tmp, 0o666 & ~_current_umask())
+        os.chmod(tmp, 0o666 & ~_UMASK)
         os.replace(tmp, dest)
     except (urllib.error.URLError, TimeoutError, OSError,
             http.client.HTTPException) as err:
@@ -88,10 +88,25 @@ def fetch_checkpoint(spec: ArchSpec, dest: str | os.PathLike | None = None,
     return dest
 
 
-def _current_umask() -> int:
+def _read_umask() -> int:
+    # /proc/self/status avoids the os.umask(0)/os.umask(mask) flip, which
+    # mutates PROCESS-global state: another thread creating a file inside
+    # that window (async orbax writer, a concurrent fetch's mkdir) would
+    # get world-writable modes. The flip fallback runs once at import,
+    # before worker threads exist, not per fetch.
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("Umask:"):
+                    return int(line.split()[1], 8)
+    except (OSError, ValueError, IndexError):
+        pass
     mask = os.umask(0)
     os.umask(mask)
     return mask
+
+
+_UMASK = _read_umask()
 
 
 def _verify_digest(spec: ArchSpec, got: str) -> None:

@@ -253,7 +253,13 @@ def _pick_group(n_pad: int, bh: int, table=None) -> int:
     tab = _TUNED_FWD_GROUP if table is None else table
     target = tab.get(n_pad, 1)
     if n_pad not in tab and n_pad < 1792:
-        # pads >= 1792 are deliberately ungroupable (VMEM, _GROUPED_VMEM)
+        # pads >= 1792 are deliberately ungroupable (VMEM, _GROUPED_VMEM).
+        # NOTE: group-sweep coverage is separate from block-sweep coverage —
+        # _FWD_MEASURED_GENERIC does NOT apply here. Every pad class group-
+        # swept so far produced a table entry (384/640/896), so a miss here
+        # really is an unswept-for-grouping class, not a known-neutral one;
+        # if a future sweep measures a class neutral, add a
+        # _GROUP_MEASURED_GENERIC exclusion like the blocks one.
         _note_untuned(n_pad,
                       "fwd group" if tab is _TUNED_FWD_GROUP else "bwd group",
                       1)

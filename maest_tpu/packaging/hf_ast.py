@@ -253,6 +253,15 @@ def from_hf_ast_state(state: Mapping[str, np.ndarray], cfg: MAESTConfig) -> Stat
 # config + feature-extractor metadata, save/push
 # ---------------------------------------------------------------------------
 
+def _ast_max_length(cfg: MAESTConfig) -> int:
+    """Smallest frame count whose VALID conv emits exactly ``grid_t`` time
+    patches: ``patch + stride_t*(grid_t-1)`` (reference per-duration table
+    316/626/1256/1876, push_to_hub.py:100-108). Single source of truth for
+    BOTH config.json and preprocessor_config.json — the two drifting apart
+    is exactly the load-failure class test_hf_feature_extractor.py caught."""
+    return cfg.patch_size + cfg.stride[1] * (cfg.grid_size[1] - 1)
+
+
 def ast_config_dict(cfg: MAESTConfig, labels=None) -> dict:
     """HF ``ASTConfig`` dict (reference: push_to_hub.py:100-144): 96 mel
     bins, stride 10, eps 1e-6.
@@ -265,7 +274,7 @@ def ast_config_dict(cfg: MAESTConfig, labels=None) -> dict:
     here under-counts by one column and ASTForAudioClassification refuses
     to load the export (found by tests/test_hf_feature_extractor.py)."""
     grid_f, grid_t = cfg.grid_size
-    ast_max_length = cfg.patch_size + cfg.stride[1] * (grid_t - 1)
+    ast_max_length = _ast_max_length(cfg)
     d = {
         "architectures": ["ASTForAudioClassification"],
         "model_type": "audio-spectrogram-transformer",
@@ -316,9 +325,9 @@ def feature_extractor_config(cfg: MAESTConfig) -> dict:
         "log_compression_scale": mel.compression_scale,
         "mean": mel.norm_mean,
         "std": mel.norm_std,
-        # same convention as the model config (reference per-duration table,
-        # push_to_hub.py:100-108): frames fed to AST must emit grid_t patches
-        "max_length": cfg.patch_size + cfg.stride[1] * (cfg.grid_size[1] - 1),
+        # same convention as the model config: frames fed to AST must emit
+        # grid_t patches (shared derivation, see _ast_max_length)
+        "max_length": _ast_max_length(cfg),
         "padding_value": 0.0,
         "return_attention_mask": False,
     }

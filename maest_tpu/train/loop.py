@@ -431,6 +431,14 @@ class Trainer:
         except Exception:
             finalize_run_json(self.run_dir, "FAILED")
             raise
+        except BaseException:
+            # SystemExit from a SIGTERM handler (preemption) or sys.exit()
+            # in a callback: the run was stopped, not broken — without this
+            # clause run.json stays RUNNING after the process is gone
+            finalize_run_json(self.run_dir, "INTERRUPTED")
+            raise
+        finally:
+            self.metrics_log.close()  # log() reopens lazily if fit is re-run
         finalize_run_json(self.run_dir, "COMPLETED", result)
         return result
 
