@@ -60,17 +60,44 @@ class MelChunkDataset:
     (reference: discogs/dataset.py:26-140)."""
 
     def __init__(self, groundtruth_file, base_dir, cfg: DatasetConfig,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 crop_seed: Optional[int] = None):
         self.base_dir = pathlib.Path(base_dir)
         self.cfg = cfg
         self.groundtruth = load_groundtruth(groundtruth_file)
         self.filenames = list(self.groundtruth.keys())
         self.rng = rng or np.random.default_rng()
+        # ``crop_seed`` switches the random-crop draw to a PER-ITEM rng
+        # keyed on (seed, filename) — order-independent, so offsets do not
+        # depend on loader thread scheduling, and every process of a
+        # multi-host run picks identical crops. Required for eval, whose
+        # batches are fed replicated to a multi-process mesh (the
+        # reference's val loader reseeds per worker instead and never needs
+        # cross-rank agreement because DDP eval is rank-sharded,
+        # discogs/datamodule.py:79-97).
+        self.crop_seed = crop_seed
         # BatchLoader keeps two batches in flight on a thread pool;
         # np.random.Generator is not thread-safe, so crop draws take a lock
         import threading
 
         self._rng_lock = threading.Lock()
+
+    def _crop_offset(self, path: pathlib.Path, frames_num: int) -> int:
+        """Random crop offset; deterministic per item under ``crop_seed``."""
+        hi = max(frames_num - self.cfg.melspectrogram_size, 0) + 1
+        if self.crop_seed is not None:
+            import zlib
+
+            try:
+                key = str(path.relative_to(self.base_dir))
+            except ValueError:
+                key = path.name
+            r = np.random.default_rng(
+                (self.crop_seed, zlib.crc32(key.encode()))
+            )
+            return int(r.integers(0, hi))
+        with self._rng_lock:
+            return int(self.rng.integers(0, hi))
 
     def __len__(self):
         return len(self.filenames)
@@ -88,9 +115,7 @@ class MelChunkDataset:
         else:
             frames_num = self._file_frames(path)
             if offset is None:
-                max_frame = frames_num - size
-                with self._rng_lock:
-                    offset = int(self.rng.integers(0, max(max_frame, 0) + 1))
+                offset = self._crop_offset(path, frames_num)
             mel = self._read_chunk(path, offset, frames_num)
         return mel.T  # (bands, time)
 
@@ -127,15 +152,13 @@ class MelChunkDataset:
         """(paths, offsets, per-item dicts) for the native batch fast path,
         or None when any item needs the python path (.npy files)."""
         paths, offsets, metas = [], [], []
-        size = self.cfg.melspectrogram_size
         for i in indices:
             filename = self.filenames[i]
             path = self.base_dir / filename
             if path.suffix == ".npy":
                 return None
             frames = self._file_frames(path)
-            with self._rng_lock:
-                offset = int(self.rng.integers(0, max(frames - size, 0) + 1))
+            offset = self._crop_offset(path, frames)
             paths.append(str(path))
             offsets.append(offset)
             metas.append({
@@ -163,8 +186,9 @@ class MelChunkDatasetTS(MelChunkDataset):
 
     def __init__(self, groundtruth_file, base_dir, cfg: DatasetConfig,
                  teacher_target_base_dir, teacher_target_threshold: float = 0.45,
-                 rng=None):
-        super().__init__(groundtruth_file, base_dir, cfg, rng)
+                 rng=None, crop_seed=None):
+        super().__init__(groundtruth_file, base_dir, cfg, rng,
+                         crop_seed=crop_seed)
         self.teacher_dir = teacher_target_base_dir
         self.threshold = teacher_target_threshold
 

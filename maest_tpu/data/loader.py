@@ -127,8 +127,40 @@ def device_prefetch(batches: Iterator[dict], sharding=None, size: int = 2,
 
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    err_box: list = []  # producer exception, re-raised on the consumer side
     stop = threading.Event()
     multiproc = process_local and jax.process_count() > 1
+
+    if jax.process_count() > 1:
+        # Multi-process: every cross-process device_put /
+        # make_array_from_process_local_data is (or can trigger) a
+        # COLLECTIVE (jax validates replicated values with a
+        # process_allgather), and collectives must be issued in identical
+        # order on every process. A background prefetch thread races its
+        # transfer collectives against the main thread's compute
+        # collectives — observed deadlock: epoch-boundary eval all-gather
+        # on the main thread vs the next batch's assert_equal allgather on
+        # this thread, interleaved differently on each process. Transfer
+        # synchronously instead; host-IO overlap is a single-process
+        # (TPU-relay) optimization.
+        def put_sync(arr):
+            if multiproc:
+                return jax.make_array_from_process_local_data(sharding, arr)
+            if sharding is not None:
+                return jax.device_put(arr, sharding)
+            return jax.device_put(arr)
+
+        try:
+            for batch in batches:
+                out = dict(batch)
+                for k in keys:
+                    if k in out:
+                        out[k] = put_sync(np.asarray(out[k]))
+                yield out
+        finally:
+            if hasattr(batches, "close"):
+                batches.close()
+        return
 
     def put_device(arr):
         if multiproc:
@@ -156,6 +188,11 @@ def device_prefetch(batches: Iterator[dict], sharding=None, size: int = 2,
                         continue
                 if stop.is_set():
                     break
+        except Exception as e:  # noqa: BLE001 — re-raised on the consumer
+            # a producer failure (bad read, cross-process device_put
+            # mismatch) must surface in the training/eval loop, not
+            # silently end the epoch early as if the data ran out
+            err_box.append(e)
         finally:
             if hasattr(batches, "close"):
                 batches.close()  # unwinds BatchLoader's pool deterministically
@@ -175,6 +212,8 @@ def device_prefetch(batches: Iterator[dict], sharding=None, size: int = 2,
         while True:
             item = q.get()
             if item is _END:
+                if err_box:
+                    raise err_box[0]
                 break
             yield item
     finally:

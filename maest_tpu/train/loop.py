@@ -33,7 +33,7 @@ from ..data import (
     weighted_epoch_indices,
 )
 from ..models.vit import MAESTNet
-from ..parallel.mesh import batch_sharding, make_mesh, shard_params
+from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_params
 from .metrics import gather_across_hosts, macro_ap_roc
 from .schedules import make_schedule
 from .state import TrainState, make_optimizer, swa_update
@@ -228,8 +228,6 @@ class Trainer:
                     params = shard_params(params, self.mesh, fsdp=True,
                                           tensor_parallel=False)
                 else:
-                    from ..parallel.mesh import replicated
-
                     params = jax.device_put(params, replicated(self.mesh))
             else:
                 params = shard_params(params, self.mesh, fsdp=self.fsdp)
@@ -273,22 +271,41 @@ class Trainer:
         self.eval_step = make_eval_step(
             self.net, self.aug, teacher_student=self.teacher_student,
             with_swa=cfg["module"]["do_swa"], apply_fn=eval_apply,
+            # multi-process: replicate outputs so each host can fetch the
+            # full logits (single-process keeps the sharded fast path)
+            out_sharding=(replicated(self.mesh)
+                          if jax.process_count() > 1 else None),
         )
         self.batch_shard = batch_sharding(self.mesh)
 
+        # Multi-process runs (the reference's multi-node DDP,
+        # ex_maest519.sh:1-23): every process must derive the SAME run dir —
+        # checkpoint saves are collective and take their path from it, so a
+        # timestamp straddling a second boundary would wedge the orbax
+        # commit across divergent directories. Broadcast proc 0's clock.
+        self.proc0 = jax.process_index() == 0
+        stamp_t = time.time()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            stamp_t = float(
+                multihost_utils.broadcast_one_to_all(np.float64(stamp_t))
+            )
         self.run_dir = Path(run_dir or tr["default_root_dir"]) / time.strftime(
-            "%y%m%d-%H%M%S"
+            "%y%m%d-%H%M%S", time.localtime(stamp_t)
         )
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        (self.run_dir / "config.json").write_text(
-            json.dumps(cfg, indent=2, default=str)
-        )
-        # Sacred-equivalent run bookkeeping (reference: FileStorageObserver,
-        # ex_maest.py:37): run.json + append-only metrics.jsonl
+        # host-side run records are proc-0-only (the reference's Sacred
+        # observer and TensorBoard logger live on rank 0 the same way)
         from ..utils.run_record import MetricsLog, write_run_json
 
-        write_run_json(self.run_dir, cfg, self._run_info)
-        self.metrics_log = MetricsLog(self.run_dir / "metrics.jsonl")
+        if self.proc0:
+            (self.run_dir / "config.json").write_text(
+                json.dumps(cfg, indent=2, default=str)
+            )
+            write_run_json(self.run_dir, cfg, self._run_info)
+        self.metrics_log = MetricsLog(self.run_dir / "metrics.jsonl",
+                                      enabled=self.proc0)
         self._tb = None
         self.epoch = 0
 
@@ -296,6 +313,11 @@ class Trainer:
     @property
     def tb(self):
         if self._tb is None:
+            if not self.proc0:
+                # rank>0 writes would shard the event stream across
+                # duplicate writers (reference: rank-0 TensorBoardLogger)
+                self._tb = _NullWriter()
+                return self._tb
             try:
                 from tensorboardX import SummaryWriter
 
@@ -319,6 +341,11 @@ class Trainer:
     def _val_dataset(self):
         dm = self.cfg["datamodule"]
         base = dm["base_dir_val"] or dm["base_dir"]
+        # crop_seed pins the val crops: deterministic per item, so every
+        # process of a multi-host run loads byte-identical eval batches
+        # (they are fed replicated, and jax.device_put asserts cross-process
+        # agreement) — and val metrics compare across epochs on fixed crops
+        crop_seed = self.cfg.get("seed", 0)
         if self.teacher_student:
             # TS eval logs standard/teacher/combined losses, so the val
             # loader also carries teacher targets (reference:
@@ -327,8 +354,10 @@ class Trainer:
                 dm["groundtruth_val"], base, _dataset_cfg(self.cfg),
                 teacher_target_base_dir=dm["teacher_student"]["teacher_target_base_dir"],
                 teacher_target_threshold=dm["teacher_student"]["teacher_target_threshold"],
+                crop_seed=crop_seed,
             )
-        return MelChunkDataset(dm["groundtruth_val"], base, _dataset_cfg(self.cfg))
+        return MelChunkDataset(dm["groundtruth_val"], base,
+                               _dataset_cfg(self.cfg), crop_seed=crop_seed)
 
     def _epoch_indices(self, dataset, epoch: int) -> np.ndarray:
         dm = self.cfg["datamodule"]
@@ -386,10 +415,14 @@ class Trainer:
         # atomic (tmp + rename): a SIGKILL between truncate and write must
         # not leave a corrupt marker that crashes elastic recovery's
         # latest_checkpoint scan forever
-        meta = self.run_dir / "checkpoints" / f"{tag}.meta.json"
-        tmp = meta.with_suffix(".json.tmp")
-        tmp.write_text(json.dumps({"epoch": self.epoch}))
-        tmp.replace(meta)
+        # marker written once (proc 0): the orbax save above is collective —
+        # every process participates — but the host-side marker must not be
+        # raced by N writers on a shared filesystem
+        if self.proc0:
+            meta = self.run_dir / "checkpoints" / f"{tag}.meta.json"
+            tmp = meta.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps({"epoch": self.epoch}))
+            tmp.replace(meta)
 
     def restore_checkpoint(self, path: str):
         import orbax.checkpoint as ocp
@@ -423,23 +456,27 @@ class Trainer:
     def fit(self):
         from ..utils.run_record import finalize_run_json
 
+        def _finalize(status, result=None):
+            if self.proc0:  # run.json is a proc-0 record (see __init__)
+                finalize_run_json(self.run_dir, status, result)
+
         try:
             result = self._fit()
         except KeyboardInterrupt:
-            finalize_run_json(self.run_dir, "INTERRUPTED")
+            _finalize("INTERRUPTED")
             raise
         except Exception:
-            finalize_run_json(self.run_dir, "FAILED")
+            _finalize("FAILED")
             raise
         except BaseException:
             # SystemExit from a SIGTERM handler (preemption) or sys.exit()
             # in a callback: the run was stopped, not broken — without this
             # clause run.json stays RUNNING after the process is gone
-            finalize_run_json(self.run_dir, "INTERRUPTED")
+            _finalize("INTERRUPTED")
             raise
         finally:
             self.metrics_log.close()  # log() reopens lazily if fit is re-run
-        finalize_run_json(self.run_dir, "COMPLETED", result)
+        _finalize("COMPLETED", result)
         return result
 
     def _fit(self):

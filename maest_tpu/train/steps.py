@@ -184,6 +184,7 @@ def make_eval_step(
     teacher_student: bool = False,
     with_swa: bool = True,
     apply_fn=None,
+    out_sharding=None,
 ):
     """Eval step running both live and SWA weights in one program
     (reference: models/module.py:121-146).
@@ -191,6 +192,12 @@ def make_eval_step(
     ``apply_fn(params, x) -> net output`` overrides the plain sequential
     forward — the pipeline-parallel Trainer passes a ``pipeline_apply``
     closure here so eval runs under the same (data, pipe) mesh.
+
+    ``out_sharding`` (multi-process runs): a replicated NamedSharding for
+    every output leaf. Without it the logits stay batch-sharded, which a
+    host cannot fetch when the batch spans other processes' devices —
+    replication on-device is the multi-host equivalent of the reference's
+    eval ``all_gather`` (reference: models/module.py:163-180).
     """
     if apply_fn is None:
         def apply_fn(params, x):
@@ -220,6 +227,8 @@ def make_eval_step(
             out["swa"] = one(state.swa_params, x, batch)
         return out
 
+    if out_sharding is not None:
+        return jax.jit(step, out_shardings=out_sharding)
     return jax.jit(step)
 
 

@@ -79,13 +79,20 @@ def finalize_run_json(run_dir: str | os.PathLike, status: str = "COMPLETED",
 
 class MetricsLog:
     """Append-only ``metrics.jsonl``: one ``{"name", "value", "step", "ts"}``
-    object per line, flushed per write so a killed run keeps its history."""
+    object per line, flushed per write so a killed run keeps its history.
 
-    def __init__(self, path: str | os.PathLike):
+    ``enabled=False`` turns it into a no-op — multi-process training logs
+    host-side records on process 0 only (the other ranks would interleave
+    duplicate lines into the same shared-FS file)."""
+
+    def __init__(self, path: str | os.PathLike, enabled: bool = True):
         self.path = Path(path)
         self._fh = None
+        self.enabled = enabled
 
     def log(self, name: str, value, step: int) -> None:
+        if not self.enabled:
+            return
         if self._fh is None:
             self._fh = open(self.path, "a", buffering=1)
         self._fh.write(json.dumps(

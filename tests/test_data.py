@@ -187,6 +187,48 @@ def test_device_prefetch_early_break_unwinds_producer(corpus):
     assert closed == [True], "producer did not unwind the batch source"
 
 
+def test_device_prefetch_propagates_producer_error(corpus):
+    """Regression (found by the multi-process fit test): an exception in
+    the producer thread (bad read, cross-process device_put mismatch) used
+    to silently END the epoch — eval 'completed' with zero batches. It must
+    re-raise in the consuming loop."""
+    from maest_tpu.data.loader import device_prefetch
+
+    root, gt = corpus
+    ds = MelChunkDataset(gt, root, CFG, rng=np.random.default_rng(0))
+    loader = BatchLoader(ds, 2, num_workers=2)
+
+    def batches():
+        yield from loader.iter_indices([0, 1])
+        raise RuntimeError("boom mid-stream")
+
+    gen = device_prefetch(batches(), None, size=1)
+    with pytest.raises(RuntimeError, match="boom mid-stream"):
+        list(gen)
+
+
+def test_crop_seed_deterministic_per_item(corpus):
+    """crop_seed pins the random-crop offset PER ITEM (keyed on filename),
+    independent of draw order — required so every process of a multi-host
+    run loads byte-identical eval batches (train/loop.py _val_dataset)."""
+    root, gt = corpus
+    a = MelChunkDataset(gt, root, CFG, crop_seed=3)
+    b = MelChunkDataset(gt, root, CFG, crop_seed=3)
+    # draw in different orders: offsets must still agree item-by-item
+    items_a = [a[i]["x"] for i in range(len(a))]
+    items_b = [b[i]["x"] for i in reversed(range(len(b)))][::-1]
+    for xa, xb in zip(items_a, items_b):
+        np.testing.assert_array_equal(xa, xb)
+    # a different seed moves the long file's crop
+    c = MelChunkDataset(gt, root, CFG, crop_seed=4)
+    long_idx = a.filenames.index("a.mmap")
+    assert not np.array_equal(a[long_idx]["x"], c[long_idx]["x"])
+    # the native batch fast path and the python path agree on offsets
+    spec = a.batch_spec([long_idx])
+    spec2 = b.batch_spec([long_idx])
+    assert spec[1] == spec2[1]
+
+
 def test_macro_ap_roc_no_valid_classes():
     """All-constant labels (tiny smoke evals) must yield NaN metrics, not a
     sklearn crash that aborts the epoch loop."""
