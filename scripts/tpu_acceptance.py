@@ -171,6 +171,21 @@ def main():
     check("inference_throughput", implied_tflops < 400,
           f"{tput:.0f} audio-s/s ({dt*1e3:.0f} ms/step, {implied_tflops:.0f} TF/s)")
 
+    # -- 5. train-step band at the TRUE 30 s recipe shape ----------------------
+    # The round-3 harness-geometry bug (spt=60 instead of 90) skewed every
+    # A/B for weeks; this check fails LOUDLY on (a) geometry drift — the
+    # padded residual width must be 896 — and (b) a throughput regression
+    # beyond the device-window noise band (record 169.1 ms, BENCH_TRAIN_r04;
+    # band = +15%).
+    import bench_train
+
+    t30 = bench_train.measure_shape(30, 32, 90, iters=20, rounds=2)
+    check("train_step_geometry", t30["n_pad"] == 896 and t30["n_tokens"] == 866,
+          f"n_tokens={t30['n_tokens']} n_pad={t30['n_pad']}")
+    check("train_step_30s_band", t30["ms_per_step"] <= 169.1 * 1.15,
+          f"{t30['ms_per_step']} ms/step ({t30['specs_per_s']} specs/s, "
+          f"record 169.1)")
+
     print(json.dumps({k: v for k, v in RESULTS.items()}))
     if not all(v["ok"] for v in RESULTS.values()):
         raise SystemExit(1)

@@ -1,0 +1,250 @@
+"""Component decomposition of the 30 s-recipe train step (VERDICT r3 #3).
+
+The forward floor has a component-by-component proof (docs/DESIGN.md); the
+169.3 ms/30 s-B32 train step only had a bisect (adamw/SWA/augment free).
+This script accounts for the remaining time with the same rigor:
+
+  stage programs (all chained on device; scalar fetch forces the chain):
+    full      the production train step (adamw + SWA + augment)
+    grad      value_and_grad of the exact step loss (no update)
+    fwd       the step loss alone (augment + mixup + train-mode forward)
+    aug       _prepare (norm+SpecAugment) + mixup alone
+    update    apply_guarded_update on fixed grads (adamw + SWA + guard)
+  derived:  backward = grad - fwd;  update ~= full - grad
+
+  per-component programs at the exact call geometry (B=32, n_pad=896,
+  H=12, d=64, E=768):
+    attn_fwd / attn_grad    the Pallas flash kernel, 12 calls/step
+    mlp_fwd / mlp_grad      fc1+gelu+fc2 at (32, 896, 768<->3072), 12/step
+    conv_fwd / conv_grad    patch-embed conv 16x16 s10 on (32,96,1875,1)
+  plus a depth-6 grad run: (T12 - T6)/6 = marginal per-block fwd+bwd cost,
+  separating block cost from fixed overhead (conv, heads, augment).
+
+Writes one JSON line (checked into docs/DESIGN.md's round-4 table).
+Usage: nohup python -u scripts/trainstep_decompose.py > /tmp/decomp.log 2>&1 &
+Reference math being accelerated: models/maest.py:381-420 backward.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+BATCH, FRAMES, SPT = 32, 1875, 90
+
+
+def timed(fn, args, iters=30, rounds=3, chain=None):
+    """Best-of-rounds ms/iter. ``chain(out, args) -> args`` threads each
+    iteration's output into the next call so the final scalar fetch forces
+    the whole chain (the axon relay executes lazily)."""
+    out = fn(*args)
+    _ = float(jax.tree.leaves(out)[0].ravel()[0])  # force (relay is lazy)
+    if chain is not None:
+        # thread the warmup output too: donating programs (the full train
+        # step) consumed their input buffers during warmup
+        args = chain(out, args)
+    best = float("inf")
+    for _r in range(rounds):
+        a = args
+        t0 = time.perf_counter()
+        for _i in range(iters):
+            out = fn(*a)
+            a = chain(out, a)
+        _ = float(jax.tree.leaves(out)[0].ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+    return round(best, 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    from maest_tpu.models.registry import build_config
+    from maest_tpu.models.vit import MAESTNet, init_params
+    from maest_tpu.ops.augment import mixup
+    from maest_tpu.train.state import TrainState, make_optimizer
+    from maest_tpu.train.steps import (
+        AugmentConfig,
+        _prepare,
+        apply_guarded_update,
+        bce_with_logits,
+        make_train_step,
+    )
+
+    res = {}
+    rng = np.random.default_rng(0)
+    x_host = rng.standard_normal((BATCH, 96, FRAMES), dtype=np.float32)
+    y_host = (rng.random((BATCH, 400)) < 0.02).astype(np.float32)
+    batch_d = {"x": jnp.asarray(x_host), "y": jnp.asarray(y_host)}
+    key = jax.random.PRNGKey(1)
+    aug = AugmentConfig()
+
+    def build(depth):
+        cfg = build_config("discogs-maest-30s-pw-129e").replace(
+            s_patchout_t=SPT, depth=depth
+        )
+        net = MAESTNet(cfg, dtype=jnp.bfloat16)
+        params = init_params(cfg, jax.random.PRNGKey(0))
+        return cfg, net, params
+
+    cfg, net, params = build(12)
+    tx = make_optimizer(lr_schedule=1e-4, adamw=True, weight_decay=1e-4)
+
+    def loss_fn(params, x_in, k):
+        k = jax.random.fold_in(k, 0)
+        k_mask, k_mix, k_patch, k_drop, k_dropout = jax.random.split(k, 5)
+        x = _prepare(x_in, aug, k_mask, train=True)
+        x, (y,) = mixup(k_mix, x, (batch_d["y"],), aug.mixup_alpha)
+        out = net.apply({"params": params}, x, train=True, rngs={
+            "patchout": k_patch, "droppath": k_drop, "dropout": k_dropout})
+        return bce_with_logits(out[0], y)
+
+    chain_x = lambda out, a: (a[0], a[1] + (1e-6 * out).astype(a[1].dtype), a[2])  # noqa: E731
+
+    # --- stage programs ----------------------------------------------------
+    state = TrainState.create(
+        jax.tree.map(lambda p: jnp.array(p, copy=True), params), tx,
+        with_swa=True)
+    step = make_train_step(net, tx, aug)
+
+    # full: chain through the step's own state donation
+    full = timed(lambda s: step(s, batch_d, key), (state,),
+                 iters=args.iters,
+                 chain=lambda out, a: (out[0],))
+    res["full"] = full
+
+    fwd = timed(jax.jit(loss_fn), (params, batch_d["x"], key),
+                iters=args.iters, chain=chain_x)
+    res["fwd"] = fwd
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    grad = timed(lambda p, x, k: grad_fn(p, x, k)[0],
+                 (params, batch_d["x"], key), iters=args.iters,
+                 chain=chain_x)
+    res["grad"] = grad
+
+    def aug_fn(x_in, k):
+        xp = _prepare(x_in, aug, jax.random.fold_in(k, 1), train=True)
+        xp, (y,) = mixup(jax.random.fold_in(k, 2), xp, (batch_d["y"],),
+                         aug.mixup_alpha)
+        return xp.mean() + y.mean()
+
+    res["aug"] = timed(jax.jit(aug_fn), (batch_d["x"], key),
+                       iters=args.iters,
+                       chain=lambda out, a: (a[0] + (1e-6 * out).astype(a[0].dtype), a[1]))
+
+    # update-only: fixed grads, state chains
+    _, grads = grad_fn(params, batch_d["x"], key)
+    upd_state = TrainState.create(
+        jax.tree.map(lambda p: jnp.array(p, copy=True), params), tx,
+        with_swa=True)
+    upd = jax.jit(lambda s, g: apply_guarded_update(s, tx, g, {"train_loss": jnp.float32(0)}))
+    res["update"] = timed(upd, (upd_state, grads), iters=args.iters,
+                          chain=lambda out, a: (out[0], a[1]))
+
+    # --- depth scaling -------------------------------------------------------
+    _, net6, params6 = build(6)
+
+    def loss6(params, x_in, k):
+        k = jax.random.fold_in(k, 0)
+        k_mask, k_mix, k_patch, k_drop, k_dropout = jax.random.split(k, 5)
+        x = _prepare(x_in, aug, k_mask, train=True)
+        x, (y,) = mixup(k_mix, x, (batch_d["y"],), aug.mixup_alpha)
+        out = net6.apply({"params": params}, x, train=True, rngs={
+            "patchout": k_patch, "droppath": k_drop, "dropout": k_dropout})
+        return bce_with_logits(out[0], y)
+
+    g6 = jax.jit(jax.value_and_grad(loss6))
+    res["grad_d6"] = timed(lambda p, x, k: g6(p, x, k)[0],
+                           (params6, batch_d["x"], key), iters=args.iters,
+                           chain=chain_x)
+
+    # --- isolated components at the exact call geometry ---------------------
+    from maest_tpu.ops.attention import flash_attention
+
+    B, H, N, D, E, HID = 32, 12, 896, 64, 768, 3072
+    q = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
+    kk = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
+
+    attn = jax.jit(functools.partial(flash_attention, n_real=866))
+    res["attn_fwd_x12"] = round(timed(
+        attn, (q, kk, v), iters=args.iters,
+        chain=lambda out, a: (a[0] + (1e-6 * out[0, 0, 0, 0]).astype(a[0].dtype),
+                              a[1], a[2])) * 12, 2)
+
+    attn_g = jax.jit(jax.grad(
+        lambda q, k, v: flash_attention(q, k, v, n_real=866).astype(jnp.float32).mean()))
+    res["attn_grad_x12"] = round(timed(
+        attn_g, (q, kk, v), iters=args.iters,
+        chain=lambda out, a: (a[0] + out.astype(a[0].dtype) * 1e-6, a[1], a[2])) * 12, 2)
+
+    w1 = jnp.asarray(rng.standard_normal((E, HID)) * 0.02, jnp.bfloat16)
+    w2 = jnp.asarray(rng.standard_normal((HID, E)) * 0.02, jnp.bfloat16)
+    xr = jnp.asarray(rng.standard_normal((B, N, E)), jnp.bfloat16)
+
+    def mlp(x, w1, w2):
+        h = jax.nn.gelu(x @ w1, approximate=True)
+        return h @ w2
+
+    res["mlp_fwd_x12"] = round(timed(
+        jax.jit(mlp), (xr, w1, w2), iters=args.iters,
+        chain=lambda out, a: (a[0] + out * 1e-6, a[1], a[2])) * 12, 2)
+    mlp_g = jax.jit(jax.grad(
+        lambda x, w1, w2: mlp(x, w1, w2).astype(jnp.float32).mean(),
+        argnums=(0, 1, 2)))
+    res["mlp_grad_x12"] = round(timed(
+        mlp_g, (xr, w1, w2), iters=args.iters,
+        chain=lambda out, a: (a[0] + out[0].astype(a[0].dtype) * 1e-6,
+                              a[1], a[2])) * 12, 2)
+
+    # patch conv at (32, 96, 1875, 1) -> (32, 9, 186, 768)
+    import flax.linen as nn
+
+    conv = nn.Conv(features=E, kernel_size=(16, 16), strides=(10, 10),
+                   padding="VALID", dtype=jnp.bfloat16)
+    xi = jnp.asarray(x_host[..., None], jnp.bfloat16)
+    cp = conv.init(jax.random.PRNGKey(0), xi)
+
+    res["conv_fwd"] = timed(
+        jax.jit(lambda p, x: conv.apply(p, x)), (cp, xi), iters=args.iters,
+        chain=lambda out, a: (a[0], a[1] + (1e-6 * out[0, 0, 0, 0]).astype(a[1].dtype)))
+    conv_g = jax.jit(jax.grad(
+        lambda p, x: conv.apply(p, x).astype(jnp.float32).mean()))
+    res["conv_grad"] = timed(
+        conv_g, (cp, xi), iters=args.iters,
+        chain=lambda out, a: (a[0], a[1] + 1e-6 * jax.tree.leaves(out)[0].ravel()[0].astype(a[1].dtype)))
+
+    # --- derived accounting ---------------------------------------------------
+    res["derived"] = {
+        "backward(grad-fwd)": round(res["grad"] - res["fwd"], 2),
+        "update(full-grad)": round(res["full"] - res["grad"], 2),
+        "per_block_fwd_bwd((d12-d6)/6)": round(
+            (res["grad"] - res["grad_d6"]) / 6, 2),
+        "fixed_overhead(d-extrapolated)": round(
+            res["grad"] - 12 * (res["grad"] - res["grad_d6"]) / 6, 2),
+    }
+    flop = 3 * (2 * 86.6e6 * 896 + 12 * 4 * 896**2 * 768) * BATCH
+    res["mfu"] = {
+        "implied_tflops": round(flop / (res["full"] / 1e3) / 1e12, 1),
+        "v5e_peak_bf16_tflops": 197,
+        "mfu_pct": round(100 * flop / (res["full"] / 1e3) / 1e12 / 197, 1),
+    }
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
