@@ -169,7 +169,7 @@ def main():
         "dir": str(run2), "rc": rc2,
         "status": json.loads((run2 / "run.json").read_text())["status"],
         "resumed_from": str(ckpt),
-        "downtime_to_relaunch_s": round(time.time() - t_kill, 1),
+        "kill_to_run2_done_s": round(time.time() - t_kill, 1),
     }
     assert rc2 == 0 and report["run2"]["status"] == "COMPLETED", report["run2"]
 
