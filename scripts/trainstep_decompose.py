@@ -13,12 +13,18 @@ This script accounts for the remaining time with the same rigor:
   derived:  backward = grad - fwd;  update ~= full - grad
 
   per-component programs at the exact call geometry (B=32, n_pad=896,
-  H=12, d=64, E=768):
+  H=12, d=64, E=768), each measured as an in-jit lax.scan chain (one
+  dispatch per round — per-iteration eager chaining costs ~1-2 ms of
+  relay dispatch per iter, which swamps 2-6 ms kernels; the first version
+  of this script measured components that summed to 1.5x the step):
     attn_fwd / attn_grad    the Pallas flash kernel, 12 calls/step
+    proj_fwd / proj_grad    qkv (768->2304) + out (768->768) matmuls, 12/step
     mlp_fwd / mlp_grad      fc1+gelu+fc2 at (32, 896, 768<->3072), 12/step
     conv_fwd / conv_grad    patch-embed conv 16x16 s10 on (32,96,1875,1)
   plus a depth-6 grad run: (T12 - T6)/6 = marginal per-block fwd+bwd cost,
-  separating block cost from fixed overhead (conv, heads, augment).
+  separating block cost from fixed overhead (conv, heads, augment). The
+  grad chains consume EVERY grad output in the scan carry (an unused
+  d-weight grad is DCE'd out of the compiled program and under-reports).
 
 Writes one JSON line (checked into docs/DESIGN.md's round-4 table).
 Usage: nohup python -u scripts/trainstep_decompose.py > /tmp/decomp.log 2>&1 &
@@ -28,7 +34,6 @@ Reference math being accelerated: models/maest.py:381-420 backward.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import sys
 import time
@@ -49,19 +54,22 @@ def timed(fn, args, iters=30, rounds=3, chain=None):
     """Best-of-rounds ms/iter. ``chain(out, args) -> args`` threads each
     iteration's output into the next call so the final scalar fetch forces
     the whole chain (the axon relay executes lazily)."""
+    if chain is None:
+        chain = lambda out, a: a  # noqa: E731
     out = fn(*args)
     _ = float(jax.tree.leaves(out)[0].ravel()[0])  # force (relay is lazy)
-    if chain is not None:
-        # thread the warmup output too: donating programs (the full train
-        # step) consumed their input buffers during warmup
-        args = chain(out, args)
+    # thread the warmup output too: donating programs (the full train
+    # step) consumed their input buffers during warmup
+    args = chain(out, args)
     best = float("inf")
     for _r in range(rounds):
-        a = args
+        # args rolls FORWARD across rounds: a donating program (the full
+        # train step) consumed the previous round's input buffers, so
+        # restarting a round from a stale `args` is a use-after-donate
         t0 = time.perf_counter()
         for _i in range(iters):
-            out = fn(*a)
-            a = chain(out, a)
+            out = fn(*args)
+            args = chain(out, args)
         _ = float(jax.tree.leaves(out)[0].ravel()[0])
         best = min(best, (time.perf_counter() - t0) / iters * 1e3)
     return round(best, 2)
@@ -173,43 +181,101 @@ def main():
                            chain=chain_x)
 
     # --- isolated components at the exact call geometry ---------------------
+    # In-jit scan chains: fn's output folds into the carry so iteration i+1
+    # depends on i (nothing DCEs, nothing overlaps) and the ONE final fetch
+    # forces the whole chain — per-round cost is a single relay dispatch.
+    from jax import lax
+
     from maest_tpu.ops.attention import flash_attention
+
+    def scan_timed(body, init, iters=args.iters, rounds=3):
+        @jax.jit
+        def prog(c):
+            c, _ = lax.scan(body, c, None, length=iters)
+            return c
+
+        out = prog(init)
+        _ = float(jax.tree.leaves(out)[0].ravel()[0])  # force warmup
+        best = float("inf")
+        for _r in range(rounds):
+            t0 = time.perf_counter()
+            out = prog(out)
+            _ = float(jax.tree.leaves(out)[0].ravel()[0])
+            best = min(best, (time.perf_counter() - t0) / iters * 1e3)
+        return best
+
+    def fold(a, g):
+        return a + (g * 1e-6).astype(a.dtype)
 
     B, H, N, D, E, HID = 32, 12, 896, 64, 768, 3072
     q = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
     kk = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
 
-    attn = jax.jit(functools.partial(flash_attention, n_real=866))
-    res["attn_fwd_x12"] = round(timed(
-        attn, (q, kk, v), iters=args.iters,
-        chain=lambda out, a: (a[0] + (1e-6 * out[0, 0, 0, 0]).astype(a[0].dtype),
-                              a[1], a[2])) * 12, 2)
+    def attn_fwd_body(c, _):
+        q, k, v = c
+        o = flash_attention(q, k, v, n_real=866)
+        return (fold(q, o), k, v), ()
 
-    attn_g = jax.jit(jax.grad(
-        lambda q, k, v: flash_attention(q, k, v, n_real=866).astype(jnp.float32).mean()))
-    res["attn_grad_x12"] = round(timed(
-        attn_g, (q, kk, v), iters=args.iters,
-        chain=lambda out, a: (a[0] + out.astype(a[0].dtype) * 1e-6, a[1], a[2])) * 12, 2)
+    res["attn_fwd_x12"] = round(scan_timed(attn_fwd_body, (q, kk, v)) * 12, 2)
+
+    def attn_loss(q, k, v):
+        return flash_attention(q, k, v, n_real=866).astype(jnp.float32).mean()
+
+    def attn_grad_body(c, _):
+        q, k, v = c
+        dq, dk, dv = jax.grad(attn_loss, argnums=(0, 1, 2))(q, k, v)
+        return (fold(q, dq), fold(k, dk), fold(v, dv)), ()
+
+    res["attn_grad_x12"] = round(scan_timed(attn_grad_body, (q, kk, v)) * 12, 2)
+
+    # qkv + out projections (the block's other matmuls; attention core above)
+    xr = jnp.asarray(rng.standard_normal((B, N, E)), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.standard_normal((E, 3 * E)) * 0.02, jnp.bfloat16)
+    wo = jnp.asarray(rng.standard_normal((E, E)) * 0.02, jnp.bfloat16)
+
+    def proj(x, wqkv, wo):
+        # consume all 3E columns with a cheap add (a `*0` or unused slice
+        # would let XLA narrow the matmul to E columns)
+        h = x @ wqkv
+        return (h[..., :E] + h[..., E:2 * E] + h[..., 2 * E:]) @ wo
+
+    def proj_fwd_body(c, _):
+        x, a, b = c
+        return (fold(x, proj(x, a, b)), a, b), ()
+
+    res["proj_fwd_x12"] = round(scan_timed(proj_fwd_body, (xr, wqkv, wo)) * 12, 2)
+
+    def proj_grad_body(c, _):
+        x, a, b = c
+        dx, da, db = jax.grad(
+            lambda x, a, b: proj(x, a, b).astype(jnp.float32).mean(),
+            argnums=(0, 1, 2))(x, a, b)
+        return (fold(x, dx), fold(a, da), fold(b, db)), ()
+
+    res["proj_grad_x12"] = round(scan_timed(proj_grad_body, (xr, wqkv, wo)) * 12, 2)
 
     w1 = jnp.asarray(rng.standard_normal((E, HID)) * 0.02, jnp.bfloat16)
     w2 = jnp.asarray(rng.standard_normal((HID, E)) * 0.02, jnp.bfloat16)
-    xr = jnp.asarray(rng.standard_normal((B, N, E)), jnp.bfloat16)
 
     def mlp(x, w1, w2):
         h = jax.nn.gelu(x @ w1, approximate=True)
         return h @ w2
 
-    res["mlp_fwd_x12"] = round(timed(
-        jax.jit(mlp), (xr, w1, w2), iters=args.iters,
-        chain=lambda out, a: (a[0] + out * 1e-6, a[1], a[2])) * 12, 2)
-    mlp_g = jax.jit(jax.grad(
-        lambda x, w1, w2: mlp(x, w1, w2).astype(jnp.float32).mean(),
-        argnums=(0, 1, 2)))
-    res["mlp_grad_x12"] = round(timed(
-        mlp_g, (xr, w1, w2), iters=args.iters,
-        chain=lambda out, a: (a[0] + out[0].astype(a[0].dtype) * 1e-6,
-                              a[1], a[2])) * 12, 2)
+    def mlp_fwd_body(c, _):
+        x, a, b = c
+        return (fold(x, mlp(x, a, b)), a, b), ()
+
+    res["mlp_fwd_x12"] = round(scan_timed(mlp_fwd_body, (xr, w1, w2)) * 12, 2)
+
+    def mlp_grad_body(c, _):
+        x, a, b = c
+        dx, da, db = jax.grad(
+            lambda x, a, b: mlp(x, a, b).astype(jnp.float32).mean(),
+            argnums=(0, 1, 2))(x, a, b)
+        return (fold(x, dx), fold(a, da), fold(b, db)), ()
+
+    res["mlp_grad_x12"] = round(scan_timed(mlp_grad_body, (xr, w1, w2)) * 12, 2)
 
     # patch conv at (32, 96, 1875, 1) -> (32, 9, 186, 768)
     import flax.linen as nn
@@ -219,14 +285,23 @@ def main():
     xi = jnp.asarray(x_host[..., None], jnp.bfloat16)
     cp = conv.init(jax.random.PRNGKey(0), xi)
 
-    res["conv_fwd"] = timed(
-        jax.jit(lambda p, x: conv.apply(p, x)), (cp, xi), iters=args.iters,
-        chain=lambda out, a: (a[0], a[1] + (1e-6 * out[0, 0, 0, 0]).astype(a[1].dtype)))
-    conv_g = jax.jit(jax.grad(
-        lambda p, x: conv.apply(p, x).astype(jnp.float32).mean()))
-    res["conv_grad"] = timed(
-        conv_g, (cp, xi), iters=args.iters,
-        chain=lambda out, a: (a[0], a[1] + 1e-6 * jax.tree.leaves(out)[0].ravel()[0].astype(a[1].dtype)))
+    def conv_fwd_body(c, _):
+        p, x = c
+        # full-output sum: a sliced dependency would let XLA narrow the conv
+        out = conv.apply(p, x).astype(jnp.float32).sum()
+        return (p, fold(x, out)), ()
+
+    res["conv_fwd"] = round(scan_timed(conv_fwd_body, (cp, xi)), 2)
+
+    def conv_grad_body(c, _):
+        p, x = c
+        dp, dx = jax.grad(
+            lambda p, x: conv.apply(p, x).astype(jnp.float32).mean(),
+            argnums=(0, 1))(p, x)
+        p = jax.tree.map(fold, p, dp)
+        return (p, fold(x, dx)), ()
+
+    res["conv_grad"] = round(scan_timed(conv_grad_body, (cp, xi)), 2)
 
     # --- derived accounting ---------------------------------------------------
     res["derived"] = {
