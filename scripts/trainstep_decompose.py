@@ -219,12 +219,18 @@ def main():
 
     res["attn_fwd_x12"] = round(scan_timed(attn_fwd_body, (q, kk, v)) * 12, 2)
 
-    def attn_loss(q, k, v):
-        return flash_attention(q, k, v, n_real=866).astype(jnp.float32).mean()
+    # Grad bodies use jax.vjp with a DENSE RANDOM cotangent — the real
+    # model's incoming cotangent. A mean()-style loss hands XLA a constant
+    # cotangent it algebraically simplifies (matmul-by-broadcast-constant
+    # becomes a reduce): measured mlp fwd+bwd collapsed to 2.0x fwd instead
+    # of the real ~3x before this fix.
+    ct_attn = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
 
     def attn_grad_body(c, _):
         q, k, v = c
-        dq, dk, dv = jax.grad(attn_loss, argnums=(0, 1, 2))(q, k, v)
+        _, vjp = jax.vjp(
+            lambda q, k, v: flash_attention(q, k, v, n_real=866), q, k, v)
+        dq, dk, dv = vjp(ct_attn)
         return (fold(q, dq), fold(k, dk), fold(v, dv)), ()
 
     res["attn_grad_x12"] = round(scan_timed(attn_grad_body, (q, kk, v)) * 12, 2)
@@ -246,11 +252,12 @@ def main():
 
     res["proj_fwd_x12"] = round(scan_timed(proj_fwd_body, (xr, wqkv, wo)) * 12, 2)
 
+    ct_res = jnp.asarray(rng.standard_normal((B, N, E)), jnp.bfloat16)
+
     def proj_grad_body(c, _):
         x, a, b = c
-        dx, da, db = jax.grad(
-            lambda x, a, b: proj(x, a, b).astype(jnp.float32).mean(),
-            argnums=(0, 1, 2))(x, a, b)
+        _, vjp = jax.vjp(proj, x, a, b)
+        dx, da, db = vjp(ct_res)
         return (fold(x, dx), fold(a, da), fold(b, db)), ()
 
     res["proj_grad_x12"] = round(scan_timed(proj_grad_body, (xr, wqkv, wo)) * 12, 2)
@@ -270,9 +277,8 @@ def main():
 
     def mlp_grad_body(c, _):
         x, a, b = c
-        dx, da, db = jax.grad(
-            lambda x, a, b: mlp(x, a, b).astype(jnp.float32).mean(),
-            argnums=(0, 1, 2))(x, a, b)
+        _, vjp = jax.vjp(mlp, x, a, b)
+        dx, da, db = vjp(ct_res)
         return (fold(x, dx), fold(a, da), fold(b, db)), ()
 
     res["mlp_grad_x12"] = round(scan_timed(mlp_grad_body, (xr, w1, w2)) * 12, 2)
@@ -293,13 +299,16 @@ def main():
 
     res["conv_fwd"] = round(scan_timed(conv_fwd_body, (cp, xi)), 2)
 
+    # params-only grad: the real step never needs dx (x is the input mel),
+    # and the stride-10 transposed-conv input grad is NOT free
+    ct_conv = jnp.asarray(
+        rng.standard_normal((B, 9, 186, E)), jnp.bfloat16)
+
     def conv_grad_body(c, _):
         p, x = c
-        dp, dx = jax.grad(
-            lambda p, x: conv.apply(p, x).astype(jnp.float32).mean(),
-            argnums=(0, 1))(p, x)
-        p = jax.tree.map(fold, p, dp)
-        return (p, fold(x, dx)), ()
+        _, vjp = jax.vjp(lambda p: conv.apply(p, x), p)
+        (dp,) = vjp(ct_conv)
+        return (jax.tree.map(fold, p, dp), x), ()
 
     res["conv_grad"] = round(scan_timed(conv_grad_body, (cp, xi)), 2)
 
