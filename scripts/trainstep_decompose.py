@@ -27,8 +27,15 @@ This script accounts for the remaining time with the same rigor:
   d-weight grad is DCE'd out of the compiled program and under-reports).
 
 Writes one JSON line (checked into docs/DESIGN.md's round-4 table).
-Usage: nohup python -u scripts/trainstep_decompose.py > /tmp/decomp.log 2>&1 &
+Usage: nohup python -u scripts/trainstep_decompose.py [--shape 10s] > /tmp/decomp.log 2>&1 &
 Reference math being accelerated: models/maest.py:381-420 backward.
+
+--shape picks the recipe geometry (the repo's composition rule: measure
+at BOTH true shapes):
+  30s: B=32,  frames=1875, spt=90 -> stream N=896 (pad-once, n_real=866)
+  10s: B=100, frames=625,  spt=30 -> stream N=281 (pad-once gated OFF;
+       the flash kernel pads 281->384 internally per call, everything
+       else computes on 281 rows)
 """
 
 from __future__ import annotations
@@ -47,7 +54,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-BATCH, FRAMES, SPT = 32, 1875, 90
+# shape -> (batch, frames, s_patchout_t, stream N, n_real for the kernel)
+GEOMETRIES = {
+    "30s": (32, 1875, 90, 896, 866),
+    "10s": (100, 625, 30, 281, None),
+}
 
 
 def timed(fn, args, iters=30, rounds=3, chain=None):
@@ -78,7 +89,9 @@ def timed(fn, args, iters=30, rounds=3, chain=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--shape", default="30s", choices=sorted(GEOMETRIES))
     args = ap.parse_args()
+    BATCH, FRAMES, SPT, N_STREAM, N_REAL = GEOMETRIES[args.shape]
 
     from maest_tpu.models.registry import build_config
     from maest_tpu.models.vit import MAESTNet, init_params
@@ -101,7 +114,7 @@ def main():
     aug = AugmentConfig()
 
     def build(depth):
-        cfg = build_config("discogs-maest-30s-pw-129e").replace(
+        cfg = build_config("discogs-maest-30s-pw-129e", input_t=FRAMES).replace(
             s_patchout_t=SPT, depth=depth
         )
         net = MAESTNet(cfg, dtype=jnp.bfloat16)
@@ -207,14 +220,14 @@ def main():
     def fold(a, g):
         return a + (g * 1e-6).astype(a.dtype)
 
-    B, H, N, D, E, HID = 32, 12, 896, 64, 768, 3072
+    B, H, N, D, E, HID = BATCH, 12, N_STREAM, 64, 768, 3072
     q = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
     kk = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((B, N, H, D)), jnp.bfloat16)
 
     def attn_fwd_body(c, _):
         q, k, v = c
-        o = flash_attention(q, k, v, n_real=866)
+        o = flash_attention(q, k, v, n_real=N_REAL)
         return (fold(q, o), k, v), ()
 
     res["attn_fwd_x12"] = round(scan_timed(attn_fwd_body, (q, kk, v)) * 12, 2)
@@ -229,7 +242,7 @@ def main():
     def attn_grad_body(c, _):
         q, k, v = c
         _, vjp = jax.vjp(
-            lambda q, k, v: flash_attention(q, k, v, n_real=866), q, k, v)
+            lambda q, k, v: flash_attention(q, k, v, n_real=N_REAL), q, k, v)
         dq, dk, dv = vjp(ct_attn)
         return (fold(q, dq), fold(k, dk), fold(v, dv)), ()
 
@@ -283,8 +296,10 @@ def main():
 
     res["mlp_grad_x12"] = round(scan_timed(mlp_grad_body, (xr, w1, w2)) * 12, 2)
 
-    # patch conv at (32, 96, 1875, 1) -> (32, 9, 186, 768)
+    # patch conv: (B, 96, frames, 1) -> (B, 9, t_conv, 768)
     import flax.linen as nn
+
+    t_conv = (FRAMES - 16) // 10 + 1
 
     conv = nn.Conv(features=E, kernel_size=(16, 16), strides=(10, 10),
                    padding="VALID", dtype=jnp.bfloat16)
@@ -302,7 +317,7 @@ def main():
     # params-only grad: the real step never needs dx (x is the input mel),
     # and the stride-10 transposed-conv input grad is NOT free
     ct_conv = jnp.asarray(
-        rng.standard_normal((B, 9, 186, E)), jnp.bfloat16)
+        rng.standard_normal((B, 9, t_conv, E)), jnp.bfloat16)
 
     def conv_grad_body(c, _):
         p, x = c
@@ -321,7 +336,9 @@ def main():
         "fixed_overhead(d-extrapolated)": round(
             res["grad"] - 12 * (res["grad"] - res["grad_d6"]) / 6, 2),
     }
-    flop = 3 * (2 * 86.6e6 * 896 + 12 * 4 * 896**2 * 768) * BATCH
+    res["shape"] = args.shape
+    flop = 3 * (2 * 86.6e6 * N_STREAM
+                + 12 * 4 * N_STREAM**2 * 768) * BATCH
     res["mfu"] = {
         "implied_tflops": round(flop / (res["full"] / 1e3) / 1e12, 1),
         "v5e_peak_bf16_tflops": 197,

@@ -31,7 +31,11 @@ def global_batch():
 
 
 def build_step(mesh, fsdp: bool):
-    """Construct (step_fn, initial_state) identically everywhere."""
+    """Construct (step_fn, initial_state) identically everywhere.
+
+    TP needs no flag here: ``shard_params`` defaults to Megatron
+    ``model``-axis specs, which are no-ops on a model-axis-of-1 (DP/FSDP)
+    mesh and split qkv/fc1 when the caller passes a model-parallel mesh."""
     import jax
     import jax.numpy as jnp
 

@@ -68,24 +68,36 @@ def check_gather(pid: int, nproc: int):
     np.testing.assert_array_equal(out, expect)
 
 
-def scenario_steps(pid: int, nproc: int, out_dir: Path, fsdp: bool):
-    """DP (or ZeRO-3 FSDP) train steps with per-process data shards.
+def scenario_steps(pid: int, nproc: int, out_dir: Path, fsdp: bool,
+                   tp: bool = False):
+    """DP / ZeRO-3 FSDP / Megatron-TP train steps across real processes.
 
-    Each process generates the SAME synthetic global batch (seeded numpy)
-    and feeds only ITS row slice through device_prefetch(process_local=True)
-    — exactly the production multi-host data path (train/loop.py _fit). The
-    test compares the recorded losses and final params against a
-    single-process run over the same total device count.
+    DP and FSDP: each process generates the SAME synthetic global batch
+    (seeded numpy) and feeds only ITS row slice through
+    device_prefetch(process_local=True) — exactly the production multi-host
+    data path (train/loop.py _fit).
+
+    TP: the ``model`` axis spans ALL devices of BOTH processes, so every
+    qkv/fc1 psum is a CROSS-PROCESS gloo collective (DP/FSDP only cross
+    the boundary at the gradient reduction); the data axis has size 1, so
+    each process supplies the full batch for its addressable devices. The
+    test compares against a single-process run over the same partitioning.
     """
     from maest_tpu.data.loader import device_prefetch
     from maest_tpu.parallel.mesh import batch_sharding, make_mesh
 
-    mesh = make_mesh()  # all global devices, data-parallel
+    if tp:
+        mesh = make_mesh(model_parallel=jax.device_count())
+    else:
+        mesh = make_mesh()  # all global devices, data-parallel
     step_fn, state = build_step(mesh, fsdp)
 
     x, y = global_batch()
-    lo, hi = pid * BATCH_N // nproc, (pid + 1) * BATCH_N // nproc
-    local = {"x": x[lo:hi], "y": y[lo:hi]}
+    if tp:
+        local = {"x": x, "y": y}  # data axis = 1: replicated rows
+    else:
+        lo, hi = pid * BATCH_N // nproc, (pid + 1) * BATCH_N // nproc
+        local = {"x": x[lo:hi], "y": y[lo:hi]}
 
     with mesh:
         shard = batch_sharding(mesh)
@@ -109,7 +121,8 @@ def scenario_steps(pid: int, nproc: int, out_dir: Path, fsdp: bool):
     check_gather(pid, nproc)
 
     if pid == 0:
-        np.savez(out_dir / f"steps_{'fsdp' if fsdp else 'dp'}.npz",
+        tag = "tp" if tp else ("fsdp" if fsdp else "dp")
+        np.savez(out_dir / f"steps_{tag}.npz",
                  losses=np.array(losses), **final)
 
 
@@ -169,6 +182,8 @@ def main():
         scenario_steps(pid, nproc, out_dir, fsdp=False)
     elif scenario == "steps_fsdp":
         scenario_steps(pid, nproc, out_dir, fsdp=True)
+    elif scenario == "steps_tp":
+        scenario_steps(pid, nproc, out_dir, fsdp=False, tp=True)
     elif scenario == "fit":
         scenario_fit(pid, nproc, out_dir, sys.argv[6], None)
     elif scenario == "resume":

@@ -104,11 +104,11 @@ def _spawn(scenario: str, out_dir: Path, *extra: str,
         )
 
 
-def _single_process_reference(fsdp: bool):
-    """The same N_STEPS over the same 4-device DP partitioning, one process."""
+def _single_process_reference(fsdp: bool, tp: bool = False):
+    """The same N_STEPS over the same 4-device partitioning, one process."""
     from maest_tpu.parallel.mesh import batch_sharding, make_mesh
 
-    mesh = make_mesh(4)
+    mesh = make_mesh(4, model_parallel=4 if tp else 1)
     step_fn, state = build_step(mesh, fsdp)
     x, y = global_batch()
     with mesh:
@@ -123,15 +123,18 @@ def _single_process_reference(fsdp: bool):
     return np.array(losses), params
 
 
-@pytest.mark.parametrize("fsdp", [False, True], ids=["dp", "fsdp"])
-def test_steps_match_single_process(tmp_path, fsdp):
-    """2-process DP/FSDP training reproduces the single-process run:
-    same per-step losses, same final params."""
-    scenario = "steps_fsdp" if fsdp else "steps"
+@pytest.mark.parametrize("mode", ["dp", "fsdp", "tp"])
+def test_steps_match_single_process(tmp_path, mode):
+    """2-process DP/FSDP/Megatron-TP training reproduces the single-process
+    run: same per-step losses, same final params. The TP case is the one
+    where the MODEL-axis psums (qkv/fc1) cross the process boundary —
+    DP/FSDP only cross it at the gradient reduction."""
+    scenario = {"dp": "steps", "fsdp": "steps_fsdp", "tp": "steps_tp"}[mode]
     _spawn(scenario, tmp_path)
-    rec = np.load(tmp_path / f"steps_{'fsdp' if fsdp else 'dp'}.npz")
+    rec = np.load(tmp_path / f"steps_{mode}.npz")
 
-    ref_losses, ref_params = _single_process_reference(fsdp)
+    ref_losses, ref_params = _single_process_reference(
+        fsdp=mode == "fsdp", tp=mode == "tp")
     # same compiled math, same 4-way partitioning; only the collective
     # transport differs (gloo cross-process vs in-process reductions).
     # Measured divergence: losses exact to <1e-6; params max|d| 2.0e-6 on
