@@ -125,11 +125,14 @@ def device_prefetch(batches: Iterator[dict], sharding=None, size: int = 2,
     """
     import jax
 
-    q: queue.Queue = queue.Queue(maxsize=size)
-    _END = object()
-    err_box: list = []  # producer exception, re-raised on the consumer side
-    stop = threading.Event()
     multiproc = process_local and jax.process_count() > 1
+
+    def put_device(arr):
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        if sharding is not None:
+            return jax.device_put(arr, sharding)
+        return jax.device_put(arr)
 
     if jax.process_count() > 1:
         # Multi-process: every cross-process device_put /
@@ -143,31 +146,22 @@ def device_prefetch(batches: Iterator[dict], sharding=None, size: int = 2,
         # this thread, interleaved differently on each process. Transfer
         # synchronously instead; host-IO overlap is a single-process
         # (TPU-relay) optimization.
-        def put_sync(arr):
-            if multiproc:
-                return jax.make_array_from_process_local_data(sharding, arr)
-            if sharding is not None:
-                return jax.device_put(arr, sharding)
-            return jax.device_put(arr)
-
         try:
             for batch in batches:
                 out = dict(batch)
                 for k in keys:
                     if k in out:
-                        out[k] = put_sync(np.asarray(out[k]))
+                        out[k] = put_device(np.asarray(out[k]))
                 yield out
         finally:
             if hasattr(batches, "close"):
                 batches.close()
         return
 
-    def put_device(arr):
-        if multiproc:
-            return jax.make_array_from_process_local_data(sharding, arr)
-        if sharding is not None:
-            return jax.device_put(arr, sharding)
-        return jax.device_put(arr)
+    q: queue.Queue = queue.Queue(maxsize=size)
+    _END = object()
+    err_box: list = []  # producer exception, re-raised on the consumer side
+    stop = threading.Event()
 
     def producer():
         try:

@@ -34,7 +34,7 @@ from ..data import (
 )
 from ..models.vit import MAESTNet
 from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_params
-from .metrics import gather_across_hosts, macro_ap_roc
+from .metrics import macro_ap_roc
 from .schedules import make_schedule
 from .state import TrainState, make_optimizer, swa_update
 from .steps import AugmentConfig, make_eval_step, make_predict_step, make_train_step
@@ -282,18 +282,22 @@ class Trainer:
         # ex_maest519.sh:1-23): every process must derive the SAME run dir —
         # checkpoint saves are collective and take their path from it, so a
         # timestamp straddling a second boundary would wedge the orbax
-        # commit across divergent directories. Broadcast proc 0's clock.
+        # commit across divergent directories. Broadcast proc 0's FORMATTED
+        # name as bytes: a float64 stamp would be silently canonicalized to
+        # float32 (x64 off; 128 s ULP at 2026 epoch values — colliding /
+        # minute-wrong dirs), and formatting after the broadcast would still
+        # diverge across hosts with different TZ settings.
         self.proc0 = jax.process_index() == 0
-        stamp_t = time.time()
+        stamp = time.strftime("%y%m%d-%H%M%S")  # fixed 13 chars
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            stamp_t = float(
-                multihost_utils.broadcast_one_to_all(np.float64(stamp_t))
-            )
-        self.run_dir = Path(run_dir or tr["default_root_dir"]) / time.strftime(
-            "%y%m%d-%H%M%S", time.localtime(stamp_t)
-        )
+            stamp = bytes(
+                multihost_utils.broadcast_one_to_all(
+                    np.frombuffer(stamp.encode("ascii"), np.uint8)
+                )
+            ).decode("ascii")
+        self.run_dir = Path(run_dir or tr["default_root_dir"]) / stamp
         self.run_dir.mkdir(parents=True, exist_ok=True)
         # host-side run records are proc-0-only (the reference's Sacred
         # observer and TensorBoard logger live on rank 0 the same way)
@@ -590,12 +594,20 @@ class Trainer:
                 np.maximum(z, 0) - z * t + np.log1p(np.exp(-np.abs(z)))
             ))
 
-        y = gather_across_hosts(np.concatenate(ys))
-        y_teacher = (gather_across_hosts(np.concatenate(yts)) if yts else None)
+        # No host-side gather here: every process holds the COMPLETE eval
+        # set by construction — each host loads the full (crop_seed-pinned)
+        # val corpus, and in multi-process mode eval_step's
+        # out_shardings=replicated is the all_gather (on-device, over ICI),
+        # so allgathering again would just feed nproc duplicate copies of
+        # every row into sklearn (reference's rank-sharded DDP eval gathers
+        # host-side instead: models/module.py:163-180; the cross-process
+        # gather utility itself is scenario-tested in multiproc_worker).
+        y = np.concatenate(ys)
+        y_teacher = np.concatenate(yts) if yts else None
         metrics = {}
         for name, chunks in outs.items():
             suffix = f"_{name}" if name else ""
-            z = gather_across_hosts(np.concatenate(chunks))
+            z = np.concatenate(chunks)
             loss = bce(z, y)
             if y_teacher is not None:
                 # teacher-student eval: standard/teacher/combined losses,

@@ -88,13 +88,19 @@ def launch(corpus: Path, extra: list[str], log: Path) -> subprocess.Popen:
     )
 
 
-def newest_run_dir(before: set) -> Path:
+def newest_run_dir(before: set, proc=None) -> Path:
     root = ROOT / "exp_logs"
     while True:
         now = {p for p in root.iterdir() if p.is_dir()} if root.is_dir() else set()
         fresh = now - before
         if fresh:
             return max(fresh, key=lambda p: p.name)
+        # child died before creating its run dir (bad override, import
+        # error, relay down in Trainer.__init__): fail, don't spin forever
+        if proc is not None and proc.poll() is not None:
+            raise RuntimeError(
+                f"training process exited (rc={proc.returncode}) before "
+                "creating a run dir — see its log")
         time.sleep(2)
 
 
@@ -133,7 +139,7 @@ def main():
     # ---- run 1: train into epoch 1, then SIGINT mid-epoch -----------------
     before = {p for p in exp_root.iterdir() if p.is_dir()}
     p1 = launch(corpus, [], ROOT / "run1.log")
-    run1 = newest_run_dir(before)
+    run1 = newest_run_dir(before, p1)
     print(f"run1 dir: {run1}", flush=True)
 
     steps_per_epoch = EPOCH_LEN // 32
@@ -161,7 +167,7 @@ def main():
     before = {p for p in exp_root.iterdir() if p.is_dir()}
     p2 = launch(corpus, ["trainer.resilient=True", f"ckpt_path={ckpt}"],
                 ROOT / "run2.log")
-    run2 = newest_run_dir(before)
+    run2 = newest_run_dir(before, p2)
     print(f"run2 dir: {run2}", flush=True)
     rc2 = p2.wait(timeout=7200)
     m2 = read_metrics(run2)

@@ -179,24 +179,29 @@ def main():
     # band = +15%).
     import bench_train
 
-    t30 = bench_train.measure_shape(30, 32, 90, iters=20, rounds=2)
+    # --quick keeps the 30 s geometry+band guard (the one the round-3 bug
+    # motivated) but halves its timing iters and skips the second shape —
+    # each shape costs a full ViT-B train-step remote compile (1-10 min).
+    t_iters, t_rounds = (10, 1) if args.quick else (20, 2)
+    t30 = bench_train.measure_shape(30, 32, 90, iters=t_iters, rounds=t_rounds)
     check("train_step_geometry", t30["n_pad"] == 896 and t30["n_tokens"] == 866,
           f"n_tokens={t30['n_tokens']} n_pad={t30['n_pad']}")
     check("train_step_30s_band", t30["ms_per_step"] <= 169.1 * 1.15,
           f"{t30['ms_per_step']} ms/step ({t30['specs_per_s']} specs/s, "
           f"record 169.1)")
 
-    # Same guard at the OTHER recipe shape (the composition rule: every
-    # train claim holds at both). 10 s stream is UNpadded (pad-once gated
-    # off at ratio 1.37): n_pad == n_tokens == 281. Record 199.5 ms
-    # (BENCH_TRAIN_r04 / DECOMP10_r04).
-    t10 = bench_train.measure_shape(10, 100, 30, iters=20, rounds=2)
-    check("train_step_10s_geometry",
-          t10["n_pad"] == 281 and t10["n_tokens"] == 281,
-          f"n_tokens={t10['n_tokens']} n_pad={t10['n_pad']}")
-    check("train_step_10s_band", t10["ms_per_step"] <= 199.5 * 1.15,
-          f"{t10['ms_per_step']} ms/step ({t10['specs_per_s']} specs/s, "
-          f"record 199.5)")
+    if not args.quick:
+        # Same guard at the OTHER recipe shape (the composition rule: every
+        # train claim holds at both). 10 s stream is UNpadded (pad-once gated
+        # off at ratio 1.37): n_pad == n_tokens == 281. Record 199.5 ms
+        # (BENCH_TRAIN_r04 / DECOMP10_r04).
+        t10 = bench_train.measure_shape(10, 100, 30, iters=20, rounds=2)
+        check("train_step_10s_geometry",
+              t10["n_pad"] == 281 and t10["n_tokens"] == 281,
+              f"n_tokens={t10['n_tokens']} n_pad={t10['n_pad']}")
+        check("train_step_10s_band", t10["ms_per_step"] <= 199.5 * 1.15,
+              f"{t10['ms_per_step']} ms/step ({t10['specs_per_s']} specs/s, "
+              f"record 199.5)")
 
     print(json.dumps({k: v for k, v in RESULTS.items()}))
     if not all(v["ok"] for v in RESULTS.values()):
