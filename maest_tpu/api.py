@@ -64,6 +64,8 @@ class MAEST:
             params = shard_params(params, self.mesh)
         else:
             self.net = MAESTNet(cfg, dtype=dtype)
+            # single placement here: get_maest hands over host arrays
+            params = jax.device_put(params)
         self.params = params
         self.labels = labels_for(cfg.num_classes)
 
@@ -126,7 +128,17 @@ class MAEST:
         if x.size == 0:
             raise ValueError("Input tensor must not be empty")
         if not jnp.issubdtype(x.dtype, jnp.floating):
-            x = x.astype(jnp.float32)
+            # int16 is s16 PCM — decode to [-1, 1) exactly like the serving
+            # path (serve.py pcm16 programs); a bare float cast would feed
+            # ±32767-range samples into the log-mel front-end and return
+            # confidently wrong activations. Other integer dtypes are
+            # ambiguous (int32 PCM? indices?) — reject instead of guessing.
+            if x.dtype == jnp.int16:
+                x = x.astype(jnp.float32) / 32768.0
+            else:
+                raise TypeError(
+                    f"integer input dtype {x.dtype} is ambiguous — pass a "
+                    "float waveform in [-1, 1] (or int16 s16 PCM)")
 
         img_f, img_t = self.cfg.img_size
 
@@ -293,7 +305,10 @@ def get_maest(
         )
         params = merge_params(params, loaded)
 
-    params = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), params)
+    # cast on HOST: MAEST.__init__ does the one device placement (under a
+    # mesh, shard_params). Uploading to device 0 here first would double
+    # the ~330 MB ViT-B transfer on multi-chip loads.
+    params = jax.tree.map(lambda a: np.asarray(a, np.float32), params)
     return MAEST(cfg, params, dtype=dtype, mesh=mesh)
 
 

@@ -45,6 +45,26 @@ def weighted_epoch_indices(
     rng = np.random.default_rng(seed + epoch)
     w = np.asarray(weights, dtype=np.float64)
     n = len(w)
+    if w.sum() <= 0:
+        # with-replacement would die on 0/0 -> NaN probabilities and the
+        # Gumbel path would silently degrade to uniform — either way the
+        # groundtruth is unusable (no sample has a positive label); say so
+        raise ValueError(
+            "all sampling weights are zero — no sample has a positive "
+            "label (check the groundtruth pickle)")
+    n_pos = int((w > 0).sum())
+    if not replacement and epoch_len <= n and epoch_len > n_pos:
+        # torch's WeightedRandomSampler(replacement=False) raises here;
+        # Gumbel top-k fills the remainder uniformly from the zero-weight
+        # samples (label-less tracks) — allowed for small/debug corpora,
+        # but loudly: it changes the training statistics
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "epoch_len %d > %d positively-weighted samples: %d draws will "
+            "be zero-weight (label-less) tracks", epoch_len, n_pos,
+            epoch_len - n_pos,
+        )
     if not replacement and epoch_len > n:
         # torch's WeightedRandomSampler would raise here; we fall back to
         # with-replacement (small/debug datasets) but LOUDLY — duplicate

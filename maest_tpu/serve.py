@@ -27,7 +27,7 @@ from __future__ import annotations
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -72,6 +72,17 @@ class BucketPrograms:
             raise ValueError("pcm16 requires fused_wave")
         self.model = model
         self.mesh = getattr(model, "mesh", None)
+        if self.mesh is not None and jax.process_count() > 1:
+            # the dispatcher thread issues device_put on its own schedule;
+            # under a cross-process mesh that transfer is a hidden
+            # process_allgather COLLECTIVE, and collectives from a
+            # background thread race the other processes' ordering
+            # (the deadlock class documented at data/loader.py
+            # device_prefetch). Serving is a single-controller workload —
+            # shard over the local chips only.
+            raise NotImplementedError(
+                "multi-process serving is not supported: build the model "
+                "on a single-process mesh (local devices)")
         self.fused_wave = fused_wave
         self.pcm16 = pcm16
         buckets = sorted(set(int(b) for b in buckets))
@@ -286,8 +297,13 @@ class DynamicBatcher:
         with self._lock:
             pending = list(self._queue)
         for p in pending:
-            if not p.future.done():
+            # a dispatcher that outlived the join timeout may resolve the
+            # future between a done() check and set_exception — swallow the
+            # InvalidStateError instead of letting it escape close()
+            try:
                 p.future.set_exception(RuntimeError("batcher shut down"))
+            except InvalidStateError:
+                pass
 
     # -- dispatcher ---------------------------------------------------------
     def _dispatch_loop(self) -> None:
@@ -333,7 +349,12 @@ class DynamicBatcher:
                 room -= c
                 if p.consumed == p.chunks.shape[0]:
                     self._queue.remove(p)
-            if not self._queue:
+            if not self._queue and not self._stop:
+                # never clear once close() has signalled: its set() is the
+                # wakeup that lets the loop observe _stop and exit — clearing
+                # it here would strand the dispatcher in _event.wait()
+                # forever (close() would then burn its full join timeout and
+                # leak the blocked thread)
                 self._event.clear()
         if not take:
             return
@@ -342,8 +363,10 @@ class DynamicBatcher:
             acts = self.programs.run(batch)
         except Exception as e:  # resolve, don't kill the dispatcher
             for p, _, _ in take:
-                if not p.future.done():
+                try:
                     p.future.set_exception(e)
+                except InvalidStateError:
+                    pass
             return
         self.stats.bump(batches=1, batched_chunks=batch.shape[0])
         off = 0
@@ -354,9 +377,13 @@ class DynamicBatcher:
                 # the future may already be done (client .cancel(), or
                 # close() raced in an exception after the join timeout);
                 # an unguarded set_result would raise InvalidStateError
-                # and kill the dispatcher thread for every future caller
-                if not p.future.done():
+                # and kill the dispatcher thread for every future caller —
+                # and the done() check alone still races a concurrent
+                # cancel/close between check and set
+                try:
                     p.future.set_result(np.concatenate(p.parts))
+                except InvalidStateError:
+                    pass
 
 
 class TagService:
@@ -460,6 +487,9 @@ class TagService:
                        timeout: Optional[float] = 60.0) -> np.ndarray:
         """(n, 96, img_t) pre-extracted mel windows -> (C,) mean sigmoid
         activations (the ``predict_labels`` averaging semantics)."""
+        if chunks.shape[0] == 0:
+            # mean over zero rows would return silent all-NaN activations
+            raise ValueError("tag_mel_chunks needs at least one mel window")
         acts = self.batcher.submit(chunks).result(timeout=timeout)
         return acts.mean(axis=0)
 

@@ -85,3 +85,24 @@ def test_long_1d_input_chunks(model):
     input_data = np.random.rand(65 * 16000).astype("float32")
     logits, _ = model(input_data)
     assert logits.shape == (2, 400)
+
+
+def test_int16_input_decodes_as_pcm(model):
+    # int16 waveforms are s16 PCM: the API must scale by 1/32768 exactly
+    # like the serving path (serve.py pcm16 programs) — a bare float cast
+    # feeds +-32767-range samples into the mel front-end and returns
+    # confidently wrong activations
+    rng = np.random.default_rng(0)
+    wave = np.clip(rng.standard_normal(10 * 16000) * 0.2, -1, 1)
+    pcm = (wave * 32767).astype(np.int16)
+    logits16, _ = model(pcm)
+    logitsf, _ = model(pcm.astype(np.float32) / 32768.0)
+    np.testing.assert_allclose(
+        np.asarray(logits16), np.asarray(logitsf), rtol=1e-5, atol=1e-5)
+
+
+def test_other_integer_dtypes_rejected(model):
+    # int32/int64 waveforms are ambiguous (PCM scale? indices?) — reject
+    # instead of guessing a scale
+    with pytest.raises(TypeError, match="ambiguous"):
+        model(np.zeros(16000, dtype=np.int32))

@@ -121,6 +121,33 @@ def test_weighted_indices_respects_weights():
     assert set(idx.tolist()).issubset(set(range(10)))
 
 
+def test_weighted_indices_all_zero_weights_raise():
+    # 0/0 probabilities (with replacement) or a silent uniform degrade
+    # (Gumbel) both mean the groundtruth has no positive labels — the
+    # sampler must say so instead
+    with pytest.raises(ValueError, match="zero"):
+        weighted_epoch_indices(np.zeros(20), 10, seed=0, epoch=0)
+    with pytest.raises(ValueError, match="zero"):
+        weighted_epoch_indices(np.zeros(20), 10, seed=0, epoch=0,
+                               replacement=True)
+
+
+def test_weighted_indices_warns_when_draw_exceeds_positive(caplog):
+    # torch's WeightedRandomSampler(replacement=False) raises when asked
+    # for more draws than positively-weighted samples; the Gumbel scheme
+    # fills from zero-weight tracks but must warn loudly
+    import logging
+
+    w = np.zeros(50)
+    w[:10] = 1.0
+    with caplog.at_level(logging.WARNING, logger="maest_tpu.data.sampler"):
+        idx = weighted_epoch_indices(w, 30, seed=0, epoch=0)
+    assert len(idx) == 30
+    # the positives are all drawn before any zero-weight filler
+    assert set(idx[:10].tolist()) == set(range(10))
+    assert any("zero-weight" in r.message for r in caplog.records)
+
+
 def test_batch_loader(corpus):
     root, gt = corpus
     ds = MelChunkDataset(gt, root, CFG, rng=np.random.default_rng(1))

@@ -228,6 +228,10 @@ def test_empty_submission_resolves_immediately(model):
         out = svc.batcher.submit(
             np.empty((0, 96, 62), np.float32)).result(timeout=5)
         assert out.shape == (0, 16)
+        # ...but the averaging entry point must raise: a mean over zero
+        # rows would return silent all-NaN activations
+        with pytest.raises(ValueError, match="at least one"):
+            svc.tag_mel_chunks(np.empty((0, 96, 62), np.float32))
     finally:
         svc.close()
 
