@@ -333,7 +333,17 @@ def block_kwargs(cfg, dtype, *, drop_path_rate: float = 0.0, mesh=None,
 def _static_keep_indices(dim: int, drop_indices, interleave: int) -> np.ndarray | None:
     """Deterministic patchout index sets (reference: models/maest.py:703-766)."""
     if drop_indices:
-        kept = np.array([i for i in range(dim) if i not in set(int(j) for j in drop_indices)])
+        drop = set(int(j) for j in drop_indices)
+        bad = sorted(j for j in drop if not 0 <= j < dim)
+        if bad:
+            raise ValueError(
+                f"patchout drop indices {bad} out of range for grid dim {dim}")
+        kept = np.array([i for i in range(dim) if i not in drop])
+        if kept.size == 0:
+            # an empty axis would make the token mean NaN downstream —
+            # mirror the random-patchout 'drops every patch' guard
+            raise ValueError(
+                f"patchout drop indices remove all {dim} rows of the grid")
         return kept
     if interleave:
         return np.arange(0, dim, interleave)
@@ -580,9 +590,15 @@ class MAESTNet(nn.Module):
             float(r) for r in np.linspace(0.0, cfg.drop_path_rate, cfg.depth)
         ]
         block_cls = Block
-        if cfg.remat and train:
-            # recompute each block on backward instead of storing activations;
-            # flax offsets argnums for self, so (1, 2) = the two boolean flags
+        if cfg.remat and train and not return_self_attention:
+            # recompute each block on backward instead of storing activations.
+            # static_argnums=(1, 2) is verified for the standard
+            # ``blk(x, deterministic)`` call shape (deterministic stays a
+            # static python bool); a THIRD positional arg would be traced
+            # under this setting (TracerBoolConversionError on
+            # ``return_self_attention`` — probed empirically), so the
+            # attention-map tap path above opts out of remat instead of
+            # ever making a 3-arg remat'd call.
             block_cls = nn.remat(Block, static_argnums=(1, 2),
                                  policy=remat_policy(cfg.remat_policy))
         blocks = [
@@ -608,10 +624,7 @@ class MAESTNet(nn.Module):
                 if return_layer_tokens:
                     layer_tokens.append(x[:, :n_tokens])
                 if tap_block is not None and i == tap_block:
-                    tap = jnp.concatenate(
-                        [x[:, 0, :], x[:, 1, :],
-                         jnp.mean(x[:, 2:n_tokens, :], axis=1)], axis=1
-                    )
+                    tap = self._block_embedding(x, n_tokens)
             out = self._tail(x)
             if tap_block is not None:
                 return out + (tap,)
@@ -625,10 +638,20 @@ class MAESTNet(nn.Module):
                 x = blk(x, not train, return_self_attention)
                 break
             x = blk(x, not train)
-        cls_out = x[:, 0, :]
-        dist_out = x[:, 1, :]
-        mean_out = jnp.mean(x[:, 2:n_tokens, :], axis=1)
-        return None, jnp.concatenate([cls_out, dist_out, mean_out], axis=1)
+        return None, self._block_embedding(x, n_tokens)
+
+    def _block_embedding(self, x: jnp.ndarray, n_tokens: int) -> jnp.ndarray:
+        """Block-k embedding: [cls | dist | mean(patch tokens)] (2304-d for
+        ViT-B; reference: models/maest.py:811-829). Without a dist token
+        the patch tokens start at index 1 — indexing [1] as 'dist' would
+        silently mislabel a patch token and drop it from the mean —
+        so non-distilled configs get [cls | mean(tokens 1:)]."""
+        if self.cfg.distilled:
+            return jnp.concatenate(
+                [x[:, 0, :], x[:, 1, :],
+                 jnp.mean(x[:, 2:n_tokens, :], axis=1)], axis=1)
+        return jnp.concatenate(
+            [x[:, 0, :], jnp.mean(x[:, 1:n_tokens, :], axis=1)], axis=1)
 
     def _per_freq_patch_embed(self, x: jnp.ndarray) -> jnp.ndarray:
         """Per-frequency-row patch projection (reference: models/maest.py:259-343).

@@ -1049,6 +1049,22 @@ def flash_attention_sharded(q, k, v, mesh, *, block_q: int | None = None,
     b, _, h, _ = q.shape
     data_ax = "data" if "data" in mesh.axis_names and b % mesh.shape["data"] == 0 else None
     model_ax = "model" if "model" in mesh.axis_names and h % mesh.shape["model"] == 0 else None
+    for ax, axis_name, size, what in ((data_ax, "data", b, "batch"),
+                                      (model_ax, "model", h, "heads")):
+        if (ax is None and axis_name in mesh.axis_names
+                and mesh.shape[axis_name] > 1):
+            # the un-sharded axis replicates the FULL computation on every
+            # device of that mesh axis — correct but up to mesh-size slower
+            # plus replicated memory; a misconfigured mesh must not look
+            # like a working-but-slow run (same convention as
+            # _note_untuned for block fallbacks)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "flash_attention_sharded: %s=%d does not divide mesh axis "
+                "'%s'=%d — computing replicated on that axis",
+                what, size, axis_name, mesh.shape[axis_name],
+            )
     spec = P(data_ax, None, model_ax, None)
 
     fn = shard_map(

@@ -96,6 +96,20 @@ def param_spec(path: tuple, shape: tuple, *, fsdp_shards: int = 1,
     one reduce-scatter-equivalent collective pair which XLA inserts
     automatically.
 
+    Known GSPMD-path limitation: the fused qkv kernel's output dim (3E,
+    torch-mappable layout) is split CONTIGUOUSLY, which is not the
+    (3, heads, head_dim) factorization attention consumes — with model=2
+    a device holds [all of q | half of k], so GSPMD inserts a reshard
+    around the head-sharded attention region instead of the single psum
+    pair (loss parity is unaffected and tested). The head-ALIGNED splits
+    live in the manual paths: ``ops.attention.flash_attention_sharded``
+    (shard_map) and the pipeline TP block's ``_tp_layout``, which
+    reshapes to (E, 3, h, d) inside the region — see
+    parallel/pipeline.py:102 for the same trap documented there. Fixing
+    the GSPMD spec would require a (E, 3, h, d) at-rest layout, breaking
+    the torch-checkpoint-mappable convention for a gain that cannot be
+    measured on this 1-chip host; revisit with multi-chip profiling.
+
     ``fsdp_shards > 1`` additionally shards each param over the ``data``
     axis (ZeRO-3-style fully-sharded data parallelism — beyond the
     reference, whose DDP replicates the full model per rank,

@@ -150,6 +150,17 @@ def _fsdp_specs(stacked, specs, d_shards: int):
     params + Adam moments at 1/DP footprint (the point of ZeRO-3).
     Returns (specs, dims) where dims maps each leaf to its gather axis
     (-1 = no shardable dim, leaf stays replicated over ``data``).
+
+    Known FSDP x PP x TP limitation: the at-rest trainer layout
+    (mesh.param_spec, tensor_parallel=False) shards each FLAT leaf's
+    largest dim (e.g. qkv's 3E), while this spec picks the largest free
+    dim of the TP-RESHAPED leaf (e.g. qkv's E after _tp_layout's
+    (E, 3, h, hd)); when those are different physical bytes XLA inserts a
+    reshard at region entry on top of the stage all-gather. A contiguous
+    3E data-split does not map to any single reshaped dim, so aligning
+    them would need the at-rest spec to know the pipeline reshape;
+    unmeasurable on this 1-chip host — revisit with multi-chip profiling
+    (tp=1 FSDP x PP layouts match and are unaffected).
     """
     import flax
 
@@ -230,6 +241,13 @@ def _make_tp_block(cfg: MAESTConfig, dtype, n_real: Optional[int]):
         if impl == "auto":
             impl = ("flash" if use_flash(n, head_dim) and not needs_drop
                     else "xla")
+        elif impl == "flash" and needs_drop:
+            # mirror models.vit.Attention: silently skipping the attention
+            # dropout would train a different model than the sequential path
+            raise ValueError(
+                "attention_impl='flash' cannot apply attn_drop_rate > 0 "
+                "in train mode; use 'auto' or 'xla'"
+            )
         if impl == "flash":
             quant = (None if cfg.attention_quant in ("none", None)
                      else cfg.attention_quant)
@@ -398,7 +416,6 @@ def pipeline_trunk(
         xs_mb = xs.reshape(m, -1, *xs.shape[1:])  # (m, mb, n, e)
 
         t_sched = np.arange(m + n_stages - 1)
-        feed = xs_mb[np.minimum(t_sched, m - 1)]  # (T, mb, n, e)
 
         local_ids = stage * layers_per_stage + jnp.arange(layers_per_stage)
 
@@ -411,8 +428,13 @@ def pipeline_trunk(
             h, _ = jax.lax.scan(layer, h, (stacked_local, local_ids))
             return h
 
-        def sched_step(carry, inp):
-            inp_t, t = inp
+        def sched_step(carry, t):
+            # index the microbatch inside the scan (steps t >= m feed the
+            # last microbatch; stage 0 ignores it then) — materializing a
+            # (T, mb, n, e) feed up front duplicated S-1 full microbatch
+            # buffers per step purely for those discarded drain steps
+            inp_t = jax.lax.dynamic_index_in_dim(
+                xs_mb, jnp.minimum(t, m - 1), keepdims=False)
             h = jnp.where(stage == 0, inp_t, carry)
             h = run_stage(h, t)
             nxt = jax.lax.ppermute(
@@ -424,7 +446,7 @@ def pipeline_trunk(
         # on; pcast the zero init to the same vma type
         init = jax.lax.pcast(jnp.zeros_like(xs_mb[0]), ("pipe",),
                              to="varying")
-        _, hs = jax.lax.scan(sched_step, init, (feed, jnp.asarray(t_sched)))
+        _, hs = jax.lax.scan(sched_step, init, jnp.asarray(t_sched))
         out = hs[n_stages - 1:]  # (m, mb, n, e), valid on the last stage
         out = jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out))
         out = jax.lax.psum(out, "pipe")  # broadcast result to every stage

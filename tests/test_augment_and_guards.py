@@ -280,3 +280,56 @@ def test_tpu_execution_knobs_config_keys_wired():
                 "attention_bwd_quant"):
         assert key in configs.default_config()["maest"]
         assert f'm.get("{key}"' in inspect.getsource(loop_mod)
+
+
+def test_patchout_drop_indices_validated():
+    """Deterministic patchout must reject index sets that empty the grid
+    or name rows outside it — an empty axis would flow through to NaN
+    token means instead of an error (mirrors the random-patchout guard)."""
+    import pytest
+
+    from maest_tpu.models.vit import _static_keep_indices
+
+    with pytest.raises(ValueError, match="out of range"):
+        _static_keep_indices(4, (0, 7), 0)
+    with pytest.raises(ValueError, match="all 4 rows"):
+        _static_keep_indices(4, (0, 1, 2, 3), 0)
+    kept = _static_keep_indices(4, (1, 3), 0)
+    assert kept.tolist() == [0, 2]
+
+
+def test_non_distilled_block_embedding_layout():
+    """With distilled=False the patch tokens start at index 1: the block-k
+    embedding must be [cls | mean(tokens 1:)] (2E-d), not mislabel patch
+    token 1 as a dist token and drop it from the mean."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maest_tpu.models.config import MAESTConfig
+    from maest_tpu.models.vit import MAESTNet, init_params
+
+    cfg = MAESTConfig(
+        img_size=(26, 46), patch_size=16, stride=(10, 10), embed_dim=64,
+        depth=2, num_heads=4, num_classes=4, distilled=False,
+    )
+    net = MAESTNet(cfg)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 26, 46, 1)),
+                    jnp.float32)
+    _, emb = net.apply({"params": params}, x, train=False,
+                       transformer_block=1)
+    assert emb.shape == (2, 2 * cfg.embed_dim)
+    assert bool(jnp.isfinite(emb).all())
+    # cross-check against the raw token stream: cls == layer-1 token 0,
+    # mean over ALL remaining (real) tokens
+    out = net.apply({"params": params}, x, train=False,
+                    return_layer_tokens=True)
+    layer_tokens = out[-1][1]  # layer-1 tokens, (b, n_tokens, E)
+    np.testing.assert_allclose(
+        np.asarray(emb[:, :cfg.embed_dim]),
+        np.asarray(layer_tokens[:, 0, :]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(emb[:, cfg.embed_dim:]),
+        np.asarray(layer_tokens[:, 1:, :].mean(axis=1)), rtol=1e-5,
+        atol=1e-5)
