@@ -256,6 +256,16 @@ def torch_to_jax_params(
         if leftover:
             raise KeyError(f"unconsumed checkpoint keys: {sorted(leftover)}")
 
+    if cfg.per_freq_patch_embed:
+        # checkpoints store the shared conv; expand it into the per-freq-row
+        # projections exactly like the reference's load-time surgery
+        # (models/maest.py:295-298) — without this, merge_params would
+        # silently keep the RANDOM per-freq kernels while every other
+        # weight loads, and the model would run producing garbage
+        from ..models.surgery import per_freq_params_from_conv
+
+        params, _ = per_freq_params_from_conv(params, cfg)
+
     return params
 
 
@@ -283,25 +293,35 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     try:
-        # Prefer the restricted unpickler: checkpoint files can arrive via
+        # The restricted unpickler: checkpoint files can arrive via
         # auto-download (checkpoints/fetch.py), and a full unpickle executes
         # arbitrary code. Plain state-dict and DeiT release files load fine
-        # this way; only Lightning ckpts carrying exotic hparams objects fall
-        # through to the legacy loader below.
+        # this way; only Lightning ckpts carrying exotic hparams objects
+        # need the legacy loader — which is EXPLICIT OPT-IN: an automatic
+        # fallback would hand any file that fails the restricted loader
+        # straight to the unsafe one, making the protection worthless.
         obj = torch.load(path, map_location="cpu", weights_only=True)
-    except Exception:
+    except Exception as err:
+        import os
+
+        if os.environ.get("MAEST_TPU_UNSAFE_LOAD") != "1":
+            raise ValueError(
+                f"restricted (weights_only) torch.load failed for {path}: "
+                f"{err}\nA full unpickle executes arbitrary code from the "
+                "file. If you trust this checkpoint (e.g. a Lightning ckpt "
+                "with custom hparams classes), set MAEST_TPU_UNSAFE_LOAD=1 "
+                "to allow the legacy loader."
+            ) from err
         import logging
 
         logging.getLogger(__name__).warning(
-            "weights_only torch.load failed for %s; falling back to the "
-            "full unpickler (arbitrary-code-execution risk for untrusted "
-            "files)", path)
+            "weights_only torch.load failed for %s (%s); MAEST_TPU_UNSAFE_"
+            "LOAD=1 set — falling back to the full unpickler", path, err)
         obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
-    if isinstance(obj, dict) and "model" in obj and all(
-        not torch_is_tensor(v) for v in [obj.get("model")]
-    ):
+    if (isinstance(obj, dict) and "model" in obj
+            and not torch_is_tensor(obj["model"])):
         # deit release format {"model": state_dict}
         inner = obj["model"]
         if isinstance(inner, dict):

@@ -119,11 +119,11 @@ def _log_mel_1d(waveform: jnp.ndarray, cfg: MelConfig, normalize: bool,
     padded = jnp.pad(waveform, (pad, pad), mode="reflect")
 
     frames_total = 1 + n // hop
-    # Zero-pad the tail so the block reshape is exact; torch never reads the
-    # extra region (all of its frames end within the reflect-padded signal).
-    target = (frames_total + 1) * hop
-    if padded.shape[0] < target:
-        padded = jnp.pad(padded, (0, target - padded.shape[0]))
+    # padded always covers the frame span: len = n + n_fft while the last
+    # frame ends at (frames_total + 1) * hop = n_fft + (n // hop) * hop
+    # <= n + n_fft (half-overlap framing, hop = n_fft // 2) — so no tail
+    # pad is ever needed; shapes are static under jit, assert the invariant
+    assert padded.shape[0] >= (frames_total + 1) * hop
     frames = _frame_half_overlap(padded, frames_total, hop)  # (T, n_fft)
 
     if fused:

@@ -49,8 +49,12 @@ def jax_to_torch_state(params: Mapping[str, object], cfg: MAESTConfig) -> State:
     Dense kernels go (in, out) -> (out, in); the patch conv HWIO -> OIHW;
     pos-embed tables regain their broadcast singleton dims.
     """
-    p = {k: np.asarray(v) if not isinstance(v, dict) else v
-         for k, v in params.items()}
+    if "patch_embed_freq_kernel" in params:
+        raise NotImplementedError(
+            "per-freq patch embedding has no torch/AST export mapping — the "
+            "reference's fix_embedding_layer surgery is load-time only "
+            "(models/maest.py:295-298); export the pre-surgery params")
+    p = params
     out: State = {}
 
     def dense(prefix: str, leaf: Mapping[str, object]):
@@ -147,6 +151,11 @@ def to_hf_ast_state(state: Mapping[str, np.ndarray]) -> State:
             out[f"{dst}.{b}.weight"] = state[f"{src}.{a}.weight"]
             out[f"{dst}.{b}.bias"] = state[f"{src}.{a}.bias"]
         qkv_w = state[f"{src}.attn.qkv.weight"]  # (3E, E)
+        if f"{src}.attn.qkv.bias" not in state:
+            raise NotImplementedError(
+                "HF AST export requires qkv_bias=True: the AST layout has "
+                "separate q/k/v biases and its config is emitted with "
+                "qkv_bias on (ast_config_dict); this state has none")
         qkv_b = state[f"{src}.attn.qkv.bias"]
         e = qkv_w.shape[1]
         for j, name in enumerate(("query", "key", "value")):
@@ -190,10 +199,15 @@ def from_hf_ast_state(state: Mapping[str, np.ndarray], cfg: MAESTConfig) -> Stat
     grid_f, grid_t = cfg.grid_size
     out: State = {}
 
+    if not cfg.distilled:
+        raise NotImplementedError(
+            "HF AST checkpoints always carry [cls | dist | grid] position "
+            "entries (push_to_hub.py:78-97); a non-distilled target cfg "
+            "would misparse the table — use a distilled config")
     out["cls_token"] = state[f"{emb}.cls_token"]
     out["dist_token"] = state[f"{emb}.distillation_token"]
     pos = state[f"{emb}.position_embeddings"].astype(np.float64)  # (1, 2+F*T, E)
-    ntok = cfg.num_tokens
+    ntok = 2  # the AST layout is fixed, not a property of the target cfg
     out["new_pos_embed"] = pos[:, :ntok].astype(np.float32)
     grid = pos[0, ntok:]  # (F*T_src, E)
     if grid.shape[0] % grid_f:

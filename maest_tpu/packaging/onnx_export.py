@@ -35,6 +35,15 @@ def _build_torch_model(params, cfg: MAESTConfig):
 
     from .hf_ast import jax_to_torch_state
 
+    if not cfg.distilled or cfg.distilled_type != "mean":
+        # check BEFORE materializing the state: jax_to_torch_state pulls the
+        # full ~330 MB ViT-B tree host-side (seconds over the relay) and the
+        # head guard below would throw it away
+        raise NotImplementedError(
+            "ONNX export implements the deployed head (distilled 'mean', "
+            "all released discogs archs); reference deploys the same "
+            "(packaging/onnx_to_tf.sh sigmoid-on-Gemm surgery)."
+        )
     sd = jax_to_torch_state(params, cfg)
     E, H = cfg.embed_dim, cfg.num_heads
     hidden = int(E * cfg.mlp_ratio)
@@ -99,13 +108,6 @@ def _build_torch_model(params, cfg: MAESTConfig):
             feats = (x[:, 0] + x[:, 1]) / 2
             logits = self.head_linear(self.head_norm(feats))
             return (logits, torch.sigmoid(logits), *layer_tokens)
-
-    if not cfg.distilled or cfg.distilled_type != "mean":
-        raise NotImplementedError(
-            "ONNX export implements the deployed head (distilled 'mean', "
-            "all released discogs archs); reference deploys the same "
-            "(packaging/onnx_to_tf.sh sigmoid-on-Gemm surgery)."
-        )
 
     m = TorchMAEST().eval()
     with torch.no_grad():
@@ -205,6 +207,10 @@ def export_onnx(params, cfg: MAESTConfig, path: str, *,
 def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
     shift = val = 0
     while True:
+        if i >= len(buf) or shift > 63:
+            # truncated file (interrupted export) or corrupt continuation
+            # bytes: a parse error, not an IndexError / unbounded shift
+            raise ValueError("truncated or corrupt varint — not an ONNX file?")
         b = buf[i]
         i += 1
         val |= (b & 0x7F) << shift
@@ -248,9 +254,16 @@ def read_onnx_io(path: str) -> dict:
         elif field == 7 and wire == 2:  # ModelProto.graph
             graph = val
         elif field == 8 and wire == 2:  # ModelProto.opset_import
+            dom, ver = b"", None
             for f2, w2, v2 in _fields(val):
-                if f2 == 2 and w2 == 0:  # OperatorSetIdProto.version
-                    opset = v2
+                if f2 == 1 and w2 == 2:  # OperatorSetIdProto.domain
+                    dom = v2
+                elif f2 == 2 and w2 == 0:  # OperatorSetIdProto.version
+                    ver = v2
+            # only the default ai.onnx opset: a custom-domain import (e.g.
+            # com.microsoft after ORT processing) must not shadow it
+            if dom in (b"", b"ai.onnx") and ver is not None:
+                opset = ver
     if graph is None:
         raise ValueError("no GraphProto found — not an ONNX file?")
 

@@ -76,3 +76,48 @@ def test_unsupported_head_rejected(params):
     cfg = CFG.replace(distilled_type="separated")
     with pytest.raises(NotImplementedError):
         export_onnx(params, cfg, "/dev/null")
+
+
+def test_read_onnx_io_truncated_file(tmp_path):
+    """A truncated/corrupt file must raise the scanner's ValueError, not an
+    IndexError from the varint reader."""
+    import pytest
+
+    bad = tmp_path / "trunc.onnx"
+    bad.write_bytes(b"\x80\x80\x80")  # unterminated varint
+    with pytest.raises(ValueError, match="varint|ONNX"):
+        read_onnx_io(str(bad))
+
+
+def test_read_onnx_io_custom_domain_does_not_shadow_opset(tmp_path):
+    """opset_import entries for custom domains (e.g. com.microsoft after ORT
+    processing) must not shadow the default ai.onnx opset version."""
+    import pytest
+
+    def varint(v):
+        out = b""
+        while True:
+            b7, v = v & 0x7F, v >> 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def field(num, wire, payload):
+        tag = varint(num << 3 | wire)
+        if wire == 2:
+            return tag + varint(len(payload)) + payload
+        return tag + varint(payload)
+
+    # GraphProto with one input/output name
+    graph = field(11, 2, field(1, 2, b"in")) + field(12, 2, field(1, 2, b"out"))
+    model = (
+        field(1, 0, 8)                                 # ir_version
+        + field(8, 2, field(2, 0, 17))                 # opset: default domain
+        + field(8, 2, field(1, 2, b"com.microsoft") + field(2, 0, 1))
+        + field(7, 2, graph)                           # ModelProto.graph
+    )
+    p = tmp_path / "mixed.onnx"
+    p.write_bytes(model)
+    io = read_onnx_io(str(p))
+    assert io["opset"] == 17, io
+    del pytest

@@ -188,3 +188,68 @@ def test_save_torch_checkpoint_roundtrip(tmp_path, small_cfg, small_params):
     state = _normalize_state(_load_any(p), small_cfg, swa_weights=True)
     back = torch_to_jax_params(state, small_cfg, strict=True)
     _tree_equal(jax.tree.map(np.asarray, small_params), back)
+
+
+def test_per_freq_checkpoint_load(small_cfg, small_params):
+    """A torch checkpoint (shared conv) loaded into a per-freq cfg must
+    expand into the per-freq projections (reference load-time surgery,
+    models/maest.py:295-298) — before this mapping, merge_params silently
+    kept the RANDOM per-freq kernels."""
+    torch_state = jax_to_torch_state(small_params, small_cfg)
+    pf_cfg = small_cfg.replace(per_freq_patch_embed=True)
+    loaded = torch_to_jax_params(torch_state, pf_cfg, strict=True)
+    expect, _ = per_freq_params_from_conv(
+        jax.tree.map(np.asarray, small_params), small_cfg)
+    _tree_equal(expect, loaded)
+
+
+def test_per_freq_export_rejected(small_cfg, small_params):
+    """The inverse direction has no torch/AST mapping — clear error, not a
+    KeyError deep inside the layout code."""
+    pf_params, pf_cfg = per_freq_params_from_conv(
+        jax.tree.map(np.asarray, small_params), small_cfg)
+    with pytest.raises(NotImplementedError, match="per-freq"):
+        jax_to_torch_state(pf_params, pf_cfg)
+
+
+def test_qkv_bias_false_export_rejected(small_cfg, small_params):
+    """AST's layout carries separate q/k/v biases; a qkv_bias=False state
+    must be rejected with a clear error, not a KeyError."""
+    cfg = small_cfg.replace(qkv_bias=False)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    state = jax_to_torch_state(params, cfg)
+    with pytest.raises(NotImplementedError, match="qkv_bias"):
+        to_hf_ast_state(state)
+
+
+def test_non_distilled_hf_import_rejected(small_cfg, small_params):
+    """AST checkpoints always carry [cls|dist|grid]; a non-distilled target
+    cfg would misparse the position table."""
+    ast_state = to_hf_ast_state(jax_to_torch_state(small_params, small_cfg))
+    with pytest.raises(NotImplementedError, match="non-distilled"):
+        from_hf_ast_state(ast_state, small_cfg.replace(distilled=False))
+
+
+class _Exotic:
+    """Non-allowlisted global: fails torch.load(weights_only=True)."""
+
+    pass
+
+
+def test_unsafe_torch_load_requires_opt_in(tmp_path, monkeypatch):
+    """A checkpoint the restricted unpickler rejects must NOT be auto-loaded
+    with the full (arbitrary-code-execution) unpickler — explicit opt-in via
+    MAEST_TPU_UNSAFE_LOAD=1 only."""
+    import torch
+
+    from maest_tpu.checkpoints.convert import load_torch_checkpoint
+
+    path = tmp_path / "exotic.ckpt"
+    torch.save({"state_dict": {"w": torch.zeros(2)}, "hparams": _Exotic()},
+               path)
+    monkeypatch.delenv("MAEST_TPU_UNSAFE_LOAD", raising=False)
+    with pytest.raises(ValueError, match="MAEST_TPU_UNSAFE_LOAD"):
+        load_torch_checkpoint(str(path))
+    monkeypatch.setenv("MAEST_TPU_UNSAFE_LOAD", "1")
+    state = load_torch_checkpoint(str(path))
+    assert state["w"].shape == (2,)
