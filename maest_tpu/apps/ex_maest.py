@@ -84,6 +84,13 @@ def run(argv: list[str]) -> dict:
     if command not in ("main", "test", "extract_embeddings", "extract_logits"):
         raise SystemExit(f"unknown command {command}")
 
+    if command == "test" and not any(
+            o.startswith("module.do_swa=") for o in overrides):
+        # the reference test command evaluates ONLY the live net
+        # (ex_maest.py:99 forces module.do_swa = False); an explicit
+        # module.do_swa=True override still wins for testing SWA weights
+        cfg["module"]["do_swa"] = False
+
     trainer = Trainer(cfg, run_info=run_info)
     if command == "main":
         return trainer.fit()  # fit finalizes its own run.json
@@ -108,8 +115,14 @@ def run(argv: list[str]) -> dict:
         # not a crash — run-triage must not count Ctrl-C as a failure
         finalize_run_json(trainer.run_dir, "INTERRUPTED")
         raise
-    except BaseException:
+    except Exception:
         finalize_run_json(trainer.run_dir, "FAILED")
+        raise
+    except BaseException:
+        # SystemExit from a SIGTERM handler (preemption) or sys.exit():
+        # a stop, not a crash — mirror Trainer.fit's classification so
+        # run-triage counts preempted eval/extract runs as INTERRUPTED
+        finalize_run_json(trainer.run_dir, "INTERRUPTED")
         raise
     finalize_run_json(trainer.run_dir, "COMPLETED", res)
     print(json.dumps(res, indent=2))

@@ -212,16 +212,24 @@ PRESETS: dict[str, dict] = {
     "maest_20s_from_passt_inference": _inference(20, "discogs-maest-20s-pw-129e"),
     "maest_30s_from_passt_inference": _inference(30, "discogs-maest-30s-pw-129e"),
     # teacher-student
+    # QUIRK preserved: the reference TS named configs never set
+    # "pretrained", so they run with the Sacred default pretrained=False
+    # (random init despite the from_passt name; reference:
+    # config_updates.py:197-236 vs models/maest.py:1447) — inheriting the
+    # _pretrain/_inference pretrained=True here would silently train from
+    # different initial weights than the reference recipe.
     "maest_30s_from_passt_teacher_student_pretrain": _merge(
         _pretrain(30, 90, distilled_type="separated"),
-        {"datamodule": {
+        {"maest": {"pretrained": False},
+         "datamodule": {
             "batch_size_train": 4,
             "teacher_student": {"do": True, "teacher_target_base_dir": ""},
         }},
     ),
     "maest_30s_from_passt_teacher_student_inference": _merge(
         _inference(30, "discogs-maest-30s-pw-73e-ts", distilled_type="separated"),
-        {"datamodule": {
+        {"maest": {"pretrained": False},
+         "datamodule": {
             "batch_size_train": 4,
             "teacher_student": {"do": True, "teacher_target_base_dir": ""},
         }},
@@ -285,6 +293,42 @@ _REMOVED_KEYS = {
         "consumes it — Lightning's StochasticWeightAveraging has no "
         "frequency knob). SWA updates run every epoch from "
         "module.swa_epoch_start."
+    ),
+    # Lightning-Trainer plumbing from the reference launch surface
+    # (ex_maest.py:45-60, ex_maest519.sh) with no JAX equivalent knob —
+    # rejected with the translation so the 519 launch script ports 1:1:
+    "trainer.num_sanity_val_steps": (
+        "Lightning sanity-val plumbing; this trainer runs no sanity val "
+        "loop, so 0 is already the behavior — drop the key."
+    ),
+    "trainer.num_nodes": (
+        "multi-host size comes from jax.distributed "
+        "(parallel/mesh.py::init_distributed num_processes), not a "
+        "trainer key — drop it; trainer.devices is the per-launch mesh "
+        "size."
+    ),
+    "trainer.sync_batchnorm": (
+        "MAEST has no batch-norm layers (LayerNorm only); the reference "
+        "sets it (ex_maest.py:50) but it never has an effect — drop the "
+        "key."
+    ),
+    "trainer.strategy": (
+        "DDP strategy selection is implicit: multi-device runs shard via "
+        "the jax mesh (trainer.devices / init_distributed) — drop the key."
+    ),
+    "trainer.reload_dataloaders_every_n_epochs": (
+        "the sampler redraws per epoch by construction "
+        "(data/sampler.py seed+epoch), which is what the reference used "
+        "this Lightning flag for (ex_maest.py:56) — drop the key."
+    ),
+    "datamodule.num_replicas": (
+        "rank sharding derives from jax.process_index/process_count "
+        "(train/loop.py), not a datamodule key (reference wires "
+        "trainer.devices into it, ex_maest.py:88) — drop the key."
+    ),
+    "module.optimizer.reaload_dataloaders_every_n_epochs": (
+        "typo'd and dead in the reference (models/module.py:40; nothing "
+        "reads it) — drop the key."
     ),
 }
 

@@ -269,7 +269,7 @@ class Trainer:
             )
             eval_apply = None
         self.eval_step = make_eval_step(
-            self.net, self.aug, teacher_student=self.teacher_student,
+            self.net, self.aug,
             with_swa=cfg["module"]["do_swa"], apply_fn=eval_apply,
             # multi-process: replicate outputs so each host can fetch the
             # full logits (single-process keeps the sharded fast path)
@@ -440,7 +440,33 @@ class Trainer:
             step=self.state.step,
         )
         with ocp.StandardCheckpointer() as ckptr:
-            restored = ckptr.restore(Path(path).absolute(), target)
+            try:
+                restored = ckptr.restore(Path(path).absolute(), target)
+            except Exception:
+                # SWA-structure mismatch between this run and the ckpt:
+                # `test` forces do_swa=False (reference ex_maest.py:99) on
+                # checkpoints saved by SWA training runs, and an SWA run
+                # may resume a no-SWA checkpoint. Retry with the opposite
+                # swa target, then coerce to this run's setting (a fresh
+                # window when this run wants SWA and the ckpt has none —
+                # swa_n is restored, so a restored window stays intact).
+                want_swa = bool(self.state.swa_params)
+                alt = dict(target)
+                alt["swa_params"] = (
+                    {} if want_swa else
+                    jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                 self.state.params))
+                restored = ckptr.restore(Path(path).absolute(), alt)
+                if want_swa:
+                    restored["swa_params"] = jax.tree.map(
+                        lambda x: jnp.array(x, copy=True),
+                        restored["params"])
+                else:
+                    # discard the ckpt's SWA entirely: a nonzero swa_n
+                    # next to an empty buffer would corrupt a later
+                    # SWA resume of a checkpoint saved from this state
+                    restored["swa_params"] = {}
+                    restored["swa_n"] = jnp.zeros_like(restored["swa_n"])
         self.state = TrainState(
             step=restored["step"],
             params=restored["params"],
@@ -572,13 +598,13 @@ class Trainer:
         # + np.asarray would round-trip the targets over the ~50 MB/s relay
         for batch in device_prefetch(batches, self.batch_shard, keys=("x",)):
             n_true = batch["_n"]
-            res = self.eval_step(self.state, _step_batch(batch))
+            res = self.eval_step(self.state, batch["x"])
             ys.append(np.asarray(batch["y"], np.float32)[:n_true])
             if "y_teacher" in batch:
                 yts.append(np.asarray(batch["y_teacher"], np.float32)[:n_true])
-            for name, r in res.items():
+            for name, logits in res.items():
                 outs.setdefault(name, []).append(
-                    np.asarray(r["logits"], np.float32)[:n_true]
+                    np.asarray(logits, np.float32)[:n_true]
                 )
             n += 1
             if tr["limit_val_batches"] and n >= tr["limit_val_batches"]:

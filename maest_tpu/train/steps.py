@@ -11,8 +11,7 @@ gradient all-reduce is inserted by XLA.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import Any, Optional
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -181,13 +180,20 @@ def make_eval_step(
     net: MAESTNet,
     aug: AugmentConfig = AugmentConfig(),
     *,
-    teacher_student: bool = False,
     with_swa: bool = True,
     apply_fn=None,
     out_sharding=None,
 ):
     """Eval step running both live and SWA weights in one program
     (reference: models/module.py:121-146).
+
+    The device program is LOGITS-ONLY: ``step(state, x)`` returns
+    ``{"": logits, "swa": logits}``. Losses / sigmoid / the
+    teacher-student eval asymmetry are computed on HOST from the gathered
+    logits (loop.py::_run_eval, matching reference models/module.py:90,
+    326-331) — feeding targets into the jitted step would transfer them
+    host->device over the ~50 MB/s relay only to ship derived scalars
+    back, and eval metrics need the full logits host-side anyway.
 
     ``apply_fn(params, x) -> net output`` overrides the plain sequential
     forward — the pipeline-parallel Trainer passes a ``pipeline_apply``
@@ -203,28 +209,14 @@ def make_eval_step(
         def apply_fn(params, x):
             return net.apply({"params": params}, x, train=False)
 
-    def one(params, x, batch):
-        out = apply_fn(params, x)
-        logits = out[0]
-        loss = bce_with_logits(logits, batch["y"])
-        logits = logits.astype(jnp.float32)
-        res = {"loss": loss, "logits": logits, "y_hat": jax.nn.sigmoid(logits)}
-        if teacher_student:
-            # deliberately the FIRST-head logits, not the dist head the
-            # train step scores: the reference's eval does the same
-            # (models/module.py:326-331 uses `logits, _ = net(x)` for both
-            # the standard and teacher losses) — faithful asymmetry
-            loss_teacher = bce_with_logits(logits, batch["y_teacher"])
-            res["loss_standard"] = loss
-            res["loss_teacher"] = loss_teacher
-            res["loss"] = (loss + loss_teacher) / 2
-        return res
+    def one(params, x):
+        return apply_fn(params, x)[0].astype(jnp.float32)
 
-    def step(state: TrainState, batch):
-        x = _prepare(batch["x"], aug, None, train=False)
-        out = {"": one(state.params, x, batch)}
+    def step(state: TrainState, x):
+        x = _prepare(x, aug, None, train=False)
+        out = {"": one(state.params, x)}
         if with_swa:
-            out["swa"] = one(state.swa_params, x, batch)
+            out["swa"] = one(state.swa_params, x)
         return out
 
     if out_sharding is not None:

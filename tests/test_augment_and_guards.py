@@ -111,21 +111,17 @@ def test_eval_step_returns_logits():
     state = TrainState.create(params, tx)
     step = make_eval_step(net, AugmentConfig(masking=False), with_swa=False)
     rng = np.random.default_rng(0)
-    batch = {
-        "x": jnp.asarray(rng.standard_normal((2, 26, 46)), jnp.float32),
-        "y": jnp.asarray((rng.random((2, 8)) > 0.5).astype(np.float32)),
-    }
-    res = step(state, batch)[""]
-    assert "logits" in res
-    z = np.asarray(res["logits"], np.float32)
-    np.testing.assert_allclose(
-        np.asarray(res["y_hat"]), 1.0 / (1.0 + np.exp(-z)), rtol=1e-6
-    )
-    np.testing.assert_allclose(
-        float(res["loss"]),
-        float(bce_with_logits(jnp.asarray(z), batch["y"])),
-        rtol=1e-6,
-    )
+    x = jnp.asarray(rng.standard_normal((2, 26, 46)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 8)) > 0.5).astype(np.float32))
+    # the device program is logits-only (targets never cross the relay);
+    # loss and sigmoid compute host-side from them — assert derivability
+    z = np.asarray(step(state, x)[""], np.float32)
+    assert z.shape == (2, 8)
+    assert np.isfinite(z).all()
+    loss = float(bce_with_logits(jnp.asarray(z), y))
+    assert np.isfinite(loss)
+    y_hat = 1.0 / (1.0 + np.exp(-z))
+    assert ((y_hat >= 0) & (y_hat <= 1)).all()
 
 
 def test_select_params_reports_fallback():
@@ -333,3 +329,39 @@ def test_non_distilled_block_embedding_layout():
         np.asarray(emb[:, cfg.embed_dim:]),
         np.asarray(layer_tokens[:, 1:, :].mean(axis=1)), rtol=1e-5,
         atol=1e-5)
+
+
+def test_removed_reference_keys_rejected_with_pointer():
+    """Reference launch-surface keys with no JAX equivalent (the repo's own
+    cited ex_maest519.sh uses two of them) must fail with the translation,
+    not a bare 'unknown key'."""
+    import pytest
+
+    from maest_tpu.configs import apply_override, default_config, parse_override
+
+    cfg = default_config()
+    for key, frag in (
+        ("trainer.num_sanity_val_steps=0", "sanity"),
+        ("trainer.num_nodes=1", "init_distributed"),
+        ("trainer.sync_batchnorm=True", "batch-norm"),
+        ("datamodule.num_replicas=4", "process_index"),
+    ):
+        with pytest.raises(KeyError, match=frag):
+            apply_override(cfg, *parse_override(key))
+
+
+def test_teacher_student_presets_keep_reference_random_init():
+    """The reference TS named configs never set 'pretrained' and so run
+    with the Sacred default False (config_updates.py:197-236 vs
+    maest.py:1447) — the presets must preserve that quirk instead of
+    inheriting pretrained=True from the plain pretrain preset."""
+    from maest_tpu.configs import PRESETS, build_experiment_config
+
+    for name in ("maest_30s_from_passt_teacher_student_pretrain",
+                 "maest_30s_from_passt_teacher_student_inference"):
+        assert PRESETS[name]["maest"]["pretrained"] is False
+        cfg = build_experiment_config([name])
+        assert cfg["maest"]["pretrained"] is False
+    # the non-TS siblings DO load pretrained weights
+    cfg = build_experiment_config(["maest_30s_from_passt_pretrain"])
+    assert cfg["maest"]["pretrained"] is True

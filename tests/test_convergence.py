@@ -46,9 +46,14 @@ def test_overfit_fixed_batch():
     assert np.isfinite(last)
     assert last < 0.1, (first, last)
 
-    # SWA average tracks and evaluates
+    # SWA average tracks and evaluates (eval step is logits-only; losses
+    # compute host-side from them, as in Trainer._run_eval)
     state = swa_update(state)
     eval_step = make_eval_step(net, AugmentConfig(masking=False), with_swa=True)
-    out = eval_step(state, batch)
-    assert np.isfinite(float(out["swa"]["loss"]))
-    assert float(out[""]["loss"]) < first
+    out = eval_step(state, batch["x"])
+    from maest_tpu.train.steps import bce_with_logits
+
+    loss_swa = float(bce_with_logits(out["swa"], batch["y"]))
+    loss_live = float(bce_with_logits(out[""], batch["y"]))
+    assert np.isfinite(loss_swa)
+    assert loss_live < first
