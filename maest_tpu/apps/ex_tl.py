@@ -11,7 +11,6 @@ Usage:
 
 from __future__ import annotations
 
-import ast
 import logging
 import sys
 from pathlib import Path
@@ -93,12 +92,19 @@ class ProbeMLP(nn.Module):
         return nn.Dense(self.n_classes, name="fc2")(x)
 
 
-def postprocess_embedding(emb: np.ndarray, types: str, reduce: str) -> np.ndarray:
+def postprocess_embedding(emb: np.ndarray, types: str, reduce: str,
+                          token_size: int = 768) -> np.ndarray:
     """Chunk-mean + CLS/DIST/token part selection
-    (reference: ex_tl.py:255-274)."""
+    (reference: ex_tl.py:255-274).
+
+    ``token_size`` is the single-part width: an embedding of exactly that
+    size is already reduced and passes through. The reference hardcodes
+    768 here (ex_tl.py:260), which breaks for any other backbone width —
+    keying on the configured ``data.token_size`` fixes that while being
+    identical for every released (ViT-B) arch."""
     if emb.ndim == 2:
         emb = emb.mean(axis=0)
-    if emb.shape[-1] == 768:
+    if emb.shape[-1] == token_size:
         return emb
     emb = emb.reshape(3, -1)
     parts = {"c": emb[0], "d": emb[1], "t": emb[2]}
@@ -114,12 +120,14 @@ class EmbeddingDataset:
     """(embedding, target) pairs from .embeddings.npy files
     (reference: ex_tl.py:226-274)."""
 
-    def __init__(self, groundtruth_file, base_dir, types: str, reduce: str):
+    def __init__(self, groundtruth_file, base_dir, types: str, reduce: str,
+                 token_size: int = 768):
         self.base_dir = Path(base_dir)
         self.groundtruth = load_groundtruth(groundtruth_file)
         self.filenames = list(self.groundtruth.keys())
         self.types = types
         self.reduce = reduce
+        self.token_size = token_size
 
     def __len__(self):
         return len(self.filenames)
@@ -128,7 +136,8 @@ class EmbeddingDataset:
         xs, ys = [], []
         for f in self.filenames:
             emb = np.load(self.base_dir / (str(f) + ".embeddings.npy"))
-            xs.append(postprocess_embedding(emb, self.types, self.reduce))
+            xs.append(postprocess_embedding(emb, self.types, self.reduce,
+                                            self.token_size))
             ys.append(np.asarray(self.groundtruth[f], dtype="float32"))
         return np.stack(xs).astype("float32"), np.stack(ys)
 
@@ -198,7 +207,8 @@ def tl_pipeline(cfg: Optional[dict] = None) -> dict:
 
     def split(name):
         return EmbeddingDataset(
-            meta / f"groundtruth-{name}.pk", data_cfg["base_dir"], types, reduce
+            meta / f"groundtruth-{name}.pk", data_cfg["base_dir"], types,
+            reduce, token_size=data_cfg["token_size"],
         ).load_all()
 
     run_dir = None
@@ -314,16 +324,29 @@ def _apply_overrides(cfg: dict, args: list[str]) -> dict:
     from ..configs import PRESETS as _unused  # noqa: F401
     from ..configs import apply_override, parse_override
 
+    explicit = set()
     for a in args:
         if "=" in a:
             path, value = parse_override(a)
             apply_override(cfg, path, value)
+            explicit.add(".".join(path))
         elif a in PRESETS:
             from ..configs import _merge
 
             _merge(cfg, PRESETS[a])
         elif a != "with":
             raise SystemExit(f"unknown preset {a!r}")
+    # Sacred config-scope coupling (reference ex_tl.py:26-64): the
+    # top-level max_epochs value seeds BOTH the trainer loop length and
+    # the LR-table length, and the reference re-derives them when the
+    # top-level key is overridden. Without this, `max_epochs=120` was
+    # silently ignored — and overriding trainer.max_epochs alone runs
+    # 120 epochs against a 60-epoch LR table clamped at ~1e-11.
+    if "max_epochs" in explicit:
+        if "trainer.max_epochs" not in explicit:
+            cfg["trainer"]["max_epochs"] = cfg["max_epochs"]
+        if "optimizer.max_epochs" not in explicit:
+            cfg["optimizer"]["max_epochs"] = cfg["max_epochs"]
     return cfg
 
 

@@ -77,6 +77,12 @@ def fetch_checkpoint(spec: ArchSpec, dest: str | os.PathLike | None = None,
         # plain-open staging did
         os.chmod(tmp, 0o666 & ~_UMASK)
         os.replace(tmp, dest)
+    except FetchError:
+        # _verify_digest's mismatch: an integrity failure, NOT a download
+        # failure — FetchError subclasses OSError, so without this clause
+        # the handler below would re-wrap it as "failed to download",
+        # inviting pointless retries of a non-retryable condition
+        raise
     except (urllib.error.URLError, TimeoutError, OSError,
             http.client.HTTPException) as err:
         # http.client.HTTPException (e.g. IncompleteRead on a truncated

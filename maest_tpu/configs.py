@@ -31,6 +31,9 @@ def default_config() -> dict:
             "precision": "bf16",  # TPU-native mixed precision
             "limit_train_batches": None,
             "limit_val_batches": None,
+            # separate from limit_val_batches (Lightning semantics): a
+            # cheap mid-training val limit must not truncate test metrics
+            "limit_test_batches": None,
             "log_every_n_steps": 50,
             "default_root_dir": "exp_logs",
             "model_parallel": 1,

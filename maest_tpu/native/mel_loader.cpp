@@ -22,6 +22,7 @@
 // Build: g++ -O3 -shared -fPIC -o libmel_loader.so mel_loader.cpp -lpthread
 
 #include <atomic>
+#include <cerrno>
 #include <cstdint>
 #include <cstring>
 #include <fcntl.h>
@@ -48,13 +49,18 @@ int64_t load_chunk_impl(const char* path, int64_t offset_frames,
   if (total < 0) return -1;
   const int64_t frames_in_file = total / row_bytes;
 
+  // an empty (0-frame) file or an offset past EOF is a FAILURE, not a
+  // silent all-zeros row: the numpy-memmap fallback raises on an empty
+  // file, and a zeroed spectrogram with a real label would poison
+  // training without any error (load_batch's raise-on-failure contract)
+  if (frames_in_file <= 0) return -1;
+
   if (offset_frames < 0) offset_frames = 0;
   int64_t avail = frames_in_file - offset_frames;
-  if (avail < 0) avail = 0;
+  if (avail <= 0) return -1;
   int64_t to_read = chunk_frames < avail ? chunk_frames : avail;
 
   std::memset(out, 0, static_cast<size_t>(chunk_frames * row_bytes));
-  if (to_read == 0) return 0;
 
   int fd = open(path, O_RDONLY);
   if (fd < 0) return -1;
@@ -68,7 +74,8 @@ int64_t load_chunk_impl(const char* path, int64_t offset_frames,
   char* p = reinterpret_cast<char*>(dst);
   while (want > 0) {
     ssize_t got = pread(fd, p, static_cast<size_t>(want), off);
-    if (got <= 0) {
+    if (got < 0 && errno == EINTR) continue;  // interrupted syscall: retry
+    if (got <= 0) {  // real error, or EOF mid-read (file truncated under us)
       close(fd);
       return -1;
     }

@@ -312,6 +312,7 @@ class Trainer:
                                       enabled=self.proc0)
         self._tb = None
         self.epoch = 0
+        self.best_val = float("inf")  # persisted in ckpt meta (resume-safe)
 
     # -- logging -----------------------------------------------------------
     @property
@@ -343,6 +344,13 @@ class Trainer:
         return MelChunkDataset(dm["groundtruth_train"], dm["base_dir"], ds_cfg)
 
     def _val_dataset(self):
+        # cached: the dataset (and its groundtruth unpickle — hundreds of
+        # MB at Discogs scale) is identical every epoch
+        if getattr(self, "_val_ds", None) is None:
+            self._val_ds = self._build_val_dataset()
+        return self._val_ds
+
+    def _build_val_dataset(self):
         dm = self.cfg["datamodule"]
         base = dm["base_dir_val"] or dm["base_dir"]
         # crop_seed pins the val crops: deterministic per item, so every
@@ -366,10 +374,17 @@ class Trainer:
     def _epoch_indices(self, dataset, epoch: int) -> np.ndarray:
         dm = self.cfg["datamodule"]
         s = dm["sampler"]
-        targets = np.array([dataset.groundtruth[f] for f in dataset.filenames])
-        weights = class_balanced_weights(
-            targets, s["sample_weight_offset"], s["sample_weight_sum"]
-        )
+        # the targets matrix and class weights are epoch-invariant; at
+        # Discogs scale rebuilding the N x 400 matrix every epoch is
+        # minutes of pure host stall per epoch on this 1-core machine
+        if getattr(self, "_weights_for", None) is not dataset:
+            targets = np.array(
+                [dataset.groundtruth[f] for f in dataset.filenames])
+            self._sample_weights = class_balanced_weights(
+                targets, s["sample_weight_offset"], s["sample_weight_sum"]
+            )
+            self._weights_for = dataset
+        weights = self._sample_weights
         return weighted_epoch_indices(
             weights,
             min(s["epoch_len"], self.steps_per_epoch * self.global_batch),
@@ -425,7 +440,12 @@ class Trainer:
         if self.proc0:
             meta = self.run_dir / "checkpoints" / f"{tag}.meta.json"
             tmp = meta.with_suffix(".json.tmp")
-            tmp.write_text(json.dumps({"epoch": self.epoch}))
+            tmp.write_text(json.dumps({
+                "epoch": self.epoch,
+                # json has no inf: None = "no best yet"
+                "best_val": (self.best_val
+                             if self.best_val != float("inf") else None),
+            }))
             tmp.replace(meta)
 
     def restore_checkpoint(self, path: str):
@@ -480,7 +500,12 @@ class Trainer:
             # at the next one (Lightning resume semantics) — re-running the
             # saved epoch would double its optimizer updates and push the
             # step-indexed LR schedule past its planned range
-            self.epoch = json.loads(meta.read_text()).get("epoch", -1) + 1
+            m = json.loads(meta.read_text())
+            self.epoch = m.get("epoch", -1) + 1
+            # restore the best-so-far val loss: without it every resumed
+            # run's first epoch would clobber the 'best' checkpoint
+            bv = m.get("best_val")
+            self.best_val = float(bv) if bv is not None else float("inf")
 
     # -- loops ---------------------------------------------------------------
     def fit(self):
@@ -533,7 +558,6 @@ class Trainer:
             num_workers=cfg["datamodule"]["num_workers"], drop_last=True,
         )
         rng = jax.random.PRNGKey(cfg.get("seed", 0))
-        best_val = float("inf")
 
         with self.mesh:
             while self.epoch < tr["max_epochs"]:
@@ -575,9 +599,15 @@ class Trainer:
                     self.tb.add_scalar(k, v, self.epoch)
                     self.metrics_log.log(k, v, self.epoch)
 
+                # update best_val BEFORE the epoch save so its meta marker
+                # carries the current best; a resumed run then restores it
+                # instead of resetting to inf and clobbering the true best
+                # checkpoint with the first post-resume epoch
+                improved = val.get("val_loss", float("inf")) < self.best_val
+                if improved:
+                    self.best_val = float(val["val_loss"])
                 self.save_checkpoint(f"epoch-{self.epoch}")
-                if val.get("val_loss", float("inf")) < best_val:
-                    best_val = val["val_loss"]
+                if improved:
                     self.save_checkpoint("best")
                 self.epoch += 1
         self.finalize_checkpoints()
@@ -607,7 +637,13 @@ class Trainer:
                     np.asarray(logits, np.float32)[:n_true]
                 )
             n += 1
-            if tr["limit_val_batches"] and n >= tr["limit_val_batches"]:
+            # limit_val_batches must NOT truncate the final test metrics
+            # (Lightning keeps a separate limit_test_batches, full by
+            # default) — a cheap mid-training val limit would silently
+            # publish prefix-only test_ap/test_roc otherwise
+            limit = (tr["limit_val_batches"] if stage == "val"
+                     else tr.get("limit_test_batches"))
+            if limit and n >= limit:
                 break
         if not ys:
             return {}
@@ -675,6 +711,14 @@ class Trainer:
     def predict(self, output_name: str = "embeddings") -> dict:
         """Exhaustive-window prediction, aggregated per file and written as
         .npy (reference: ex_maest.py:162-207)."""
+        if jax.process_count() > 1:
+            # extraction is single-controller, like the reference's
+            # single-GPU extract commands (ex_maest.py:162-207): outputs
+            # here stay batch-sharded across processes (not replicated as
+            # in eval) and N hosts would race-write the same .npy files
+            raise NotImplementedError(
+                "predict/extract under multi-process jax is not supported; "
+                "run extraction in a single-process launch")
         cfg = self.cfg
         net, mesh, batch_shard = self.net, self.mesh, self.batch_shard
         params = self.state.params

@@ -111,6 +111,11 @@ def test_train_and_resume(corpus, tmp_path):
     assert any(m["name"] == "val_loss" for m in metric_lines)
     assert all({"name", "value", "step", "ts"} <= set(m) for m in metric_lines)
 
+    # best_val persists in the meta marker: a resumed run must not reset
+    # it to inf and let its first epoch clobber the true 'best' checkpoint
+    meta = json.loads((ckpts / "epoch-1.meta.json").read_text())
+    assert meta["best_val"] is not None and np.isfinite(meta["best_val"])
+
     # resume from epoch-0 and train one more epoch
     res = run(
         ["main", "with"]

@@ -82,3 +82,19 @@ def test_tl_pipeline_learns(embedding_corpus):
     assert run_json["result"]["test_roc"] == res["test_roc"]
     lines = (run_dir / "metrics.jsonl").read_text().splitlines()
     assert len(lines) == 8 * 3  # 3 scalars per epoch
+
+
+def test_max_epochs_override_recouples_derived_keys():
+    """`max_epochs=N` on the CLI must re-derive trainer.max_epochs and the
+    LR-table length like the reference's Sacred config scope (ex_tl.py:26-
+    64); individually-overridden keys still win."""
+    from maest_tpu.apps.ex_tl import _apply_overrides, default_config
+
+    cfg = _apply_overrides(default_config(), ["max_epochs=120"])
+    assert cfg["trainer"]["max_epochs"] == 120
+    assert cfg["optimizer"]["max_epochs"] == 120
+
+    cfg = _apply_overrides(default_config(),
+                           ["max_epochs=120", "optimizer.max_epochs=80"])
+    assert cfg["trainer"]["max_epochs"] == 120
+    assert cfg["optimizer"]["max_epochs"] == 80

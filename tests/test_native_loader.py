@@ -115,3 +115,21 @@ def test_load_batch_raises_on_missing_file(mel_file, tmp_path):
     with pytest.raises(RuntimeError, match="failed to read 1 of 2"):
         native.load_batch([str(path), str(tmp_path / "missing.mmap")],
                           [0, 0], 50, 96)
+
+
+def test_load_batch_raises_on_empty_file(mel_file, tmp_path):
+    """An empty (0-byte) mel file must FAIL, matching the numpy-memmap
+    fallback (np.memmap raises on an empty file) — not feed a silent
+    all-zeros spectrogram with a real label into training."""
+    path, _ = mel_file
+    empty = tmp_path / "empty.mmap"
+    empty.write_bytes(b"")
+    with pytest.raises(RuntimeError, match="failed to read 1 of 2"):
+        native.load_batch([str(path), str(empty)], [0, 0], 50, 96)
+
+
+def test_load_batch_raises_on_offset_past_eof(mel_file):
+    """An offset past EOF is corrupt metadata, not a valid zero row."""
+    path, _ = mel_file
+    with pytest.raises(RuntimeError, match="failed to read"):
+        native.load_batch([str(path)], [10_000], 50, 96)
