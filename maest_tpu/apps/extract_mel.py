@@ -75,11 +75,19 @@ def load_audio(path: Path) -> np.ndarray:
             f"cannot decode {path.suffix} without ffmpeg; provide .wav/.npy "
             "input or install ffmpeg"
         )
-    proc = subprocess.run(
-        ["ffmpeg", "-v", "error", "-i", str(path), "-f", "f32le", "-ac", "1",
-         "-ar", str(SAMPLE_RATE), "-"],
-        capture_output=True, check=True,
-    )
+    try:
+        proc = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", str(path), "-f", "f32le",
+             "-ac", "1", "-ar", str(SAMPLE_RATE), "-"],
+            capture_output=True, check=True,
+        )
+    except subprocess.CalledProcessError as e:
+        # CalledProcessError's message carries only the exit status; the
+        # actual decode diagnostic (bad file vs missing codec) is on stderr
+        raise RuntimeError(
+            f"ffmpeg failed on {path}: "
+            f"{e.stderr.decode(errors='replace').strip() or 'no stderr'}"
+        ) from e
     return np.frombuffer(proc.stdout, np.float32).copy()
 
 
@@ -92,9 +100,13 @@ def melspectrogram_to_mmap(wave: np.ndarray, out_path: Path,
     """
     from ..dsp.mel import MelConfig, log_mel_spectrogram_np
 
-    mel = log_mel_spectrogram_np(wave, MelConfig(), normalize=False)  # (96, T)
+    cfg = MelConfig()
+    mel = log_mel_spectrogram_np(wave, cfg, normalize=False)  # (96, T)
     mel = mel.T.astype(np.float16)  # (T, 96)
-    max_frames = int(max_seconds * SAMPLE_RATE / 256)
+    # derive from the SAME MelConfig that produced the frames — a literal
+    # hop here would silently disagree with the file layout if the config
+    # ever changed
+    max_frames = int(max_seconds * cfg.sample_rate / cfg.hop_length)
     if mel.shape[0] > max_frames:
         start = (mel.shape[0] - max_frames) // 2
         mel = mel[start:start + max_frames]
@@ -106,12 +118,31 @@ def melspectrogram_to_mmap(wave: np.ndarray, out_path: Path,
     return out_path
 
 
-def extract_one(audio_path: str, out_dir: str, suffix: str = ".mmap") -> str:
+def extract_one(audio_path: str, out_dir: str, suffix: str = ".mmap",
+                out_name: str | None = None) -> str:
     path = Path(audio_path)
-    out_path = Path(out_dir) / (path.stem + suffix)
+    out_path = Path(out_dir) / ((out_name or path.stem) + suffix)
     wave = load_audio(path)
     melspectrogram_to_mmap(wave, out_path)
     return str(out_path)
+
+
+def output_names(paths: list[str]) -> list[str]:
+    """Collision-safe output names: bare stems when unique; otherwise the
+    path relative to the deepest common ancestor (albumA/01 and albumB/01
+    must not silently overwrite — and race-corrupt — one .mmap under the
+    process pool)."""
+    import os
+
+    stems = [Path(p).stem for p in paths]
+    if len(set(stems)) == len(stems):
+        return stems
+    parents = [str(Path(p).resolve().parent) for p in paths]
+    common = os.path.commonpath(parents)
+    return [
+        str((Path(par).relative_to(common) / Path(p).stem))
+        for p, par in zip(paths, parents)
+    ]
 
 
 def main(argv=None):
@@ -122,12 +153,14 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     Path(args.out_dir).mkdir(parents=True, exist_ok=True)
+    names = output_names(args.audio)
     if args.workers <= 1 or len(args.audio) == 1:
-        for a in args.audio:
-            print(extract_one(a, args.out_dir))
+        for a, n in zip(args.audio, names):
+            print(extract_one(a, args.out_dir, out_name=n))
         return
     with ProcessPoolExecutor(max_workers=args.workers) as pool:
-        futures = [pool.submit(extract_one, a, args.out_dir) for a in args.audio]
+        futures = [pool.submit(extract_one, a, args.out_dir, out_name=n)
+                   for a, n in zip(args.audio, names)]
         for f in futures:
             try:
                 print(f.result())

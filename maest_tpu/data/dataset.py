@@ -222,26 +222,45 @@ class ExhaustiveMelDataset(MelChunkDataset):
         self.hop = size // 2 if half_overlapped_inference else size
         self.half_overlap = half_overlapped_inference
 
+        # Per-FILE dispatch (the reference keys on the first file's suffix
+        # only, discogs/dataset.py:226 — a mixed .mmap/.npy corpus then
+        # either byte-mismeasures the .npy files or collapses every .mmap
+        # to a single offset-0 window; per-file dispatch is identical for
+        # the homogeneous corpora the reference supports).
         entries: list[tuple[str, int]] = []
-        if self.filenames and pathlib.Path(self.filenames[0]).suffix == ".mmap":
-            for filename in self.filenames:
-                frames_num = self._file_frames(self.base_dir / filename)
-                if self.half_overlap:
-                    frames_num -= self.hop
-                # 10% zero-pad margin (reference: discogs/dataset.py:236),
-                # clamped so every window starts before EOF. The raw
-                # reference formula accumulates the margin over the WHOLE
-                # file, emitting offsets past EOF for anything longer than
-                # 10 clips — a negative read that crashes its own loader
-                # (discogs/dataset.py:101-110); where the reference works,
-                # the clamp never binds and window sets are identical.
-                n_patches = min(
-                    int((frames_num * 1.1) // self.hop),
-                    -(-frames_num // self.hop),  # ceil: start < frames_num
-                )
-                entries.extend((filename, i * self.hop) for i in range(n_patches))
-        else:
-            entries = [(f, 0) for f in self.filenames]
+        dropped = 0
+        for filename in self.filenames:
+            path = self.base_dir / filename
+            if path.suffix != ".mmap":
+                entries.append((filename, 0))  # .npy: loaded whole
+                continue
+            frames_num = self._file_frames(path)
+            if self.half_overlap:
+                frames_num -= self.hop
+            # 10% zero-pad margin (reference: discogs/dataset.py:236),
+            # clamped so every window starts before EOF. The raw
+            # reference formula accumulates the margin over the WHOLE
+            # file, emitting offsets past EOF for anything longer than
+            # 10 clips — a negative read that crashes its own loader
+            # (discogs/dataset.py:101-110); where the reference works,
+            # the clamp never binds and window sets are identical.
+            n_patches = min(
+                int((frames_num * 1.1) // self.hop),
+                -(-frames_num // self.hop),  # ceil: start < frames_num
+            )
+            if n_patches == 0:
+                dropped += 1  # reference-faithful drop, but not silent
+            entries.extend((filename, i * self.hop) for i in range(n_patches))
+        if dropped:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "exhaustive dataset: %d file(s) shorter than ~0.91x the "
+                "%d-frame window emit ZERO windows and are absent from "
+                "test/predict output (reference semantics, "
+                "discogs/dataset.py:236; the train/val chunk loader "
+                "center-pads such files instead)", dropped,
+                cfg.melspectrogram_size)
         self.entries = entries
 
     def __len__(self):

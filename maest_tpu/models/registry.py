@@ -23,9 +23,9 @@ class ArchSpec:
     url: str
     num_classes: int
     default_input_t: int
-    input_f: int = 96
-    mean: float = 2.06755686098554
-    std: float = 1.268292820667291
+    input_f: int = 96  # mel bands (read by scripts/parity_sweep.py)
+    # (norm mean/std live with the DSP layer — dsp/mel.py NORM_MEAN/
+    # NORM_STD; the duplicated spec copies were dead and drift-prone)
     kind: str = "maest"  # "maest" | "imagenet" (joint pos-embed source)
     # Expected SHA256 of the released checkpoint file, verified by
     # checkpoints/fetch.py before an auto-download is committed to the

@@ -295,3 +295,30 @@ def test_compute_norm_stats_global_moments(tmp_path):
     allv = np.concatenate([v.ravel() for v in vals])
     assert mean == pytest.approx(allv.mean(), abs=1e-6)
     assert std == pytest.approx(allv.std(), abs=1e-6)  # ~3.0, not ~0.1
+
+
+def test_exhaustive_mixed_suffix_corpus(tmp_path):
+    """Per-file dispatch: in a mixed .mmap/.npy corpus the .mmap files
+    window-expand and the .npy files load whole — the reference keys on
+    the FIRST file's suffix only (discogs/dataset.py:226), mismeasuring
+    whichever kind comes second."""
+    from maest_tpu.data.dataset import DatasetConfig, ExhaustiveMelDataset
+
+    rng = np.random.default_rng(0)
+    gt = {}
+    rng.standard_normal((250, 96)).astype("float16").tofile(
+        tmp_path / "long.mmap")
+    gt["long.mmap"] = np.ones(4, "float16")
+    np.save(tmp_path / "clip.npy",
+            rng.standard_normal((300, 96)).astype("float16"))
+    gt["clip.npy"] = np.ones(4, "float16")
+    with open(tmp_path / "gt.pk", "wb") as f:
+        pickle.dump(gt, f)
+
+    cfg = DatasetConfig(clip_length=2)  # 125-frame window
+    ds = ExhaustiveMelDataset(tmp_path / "gt.pk", tmp_path, cfg)
+    by_file = {}
+    for fname, off in ds.entries:
+        by_file.setdefault(fname, []).append(off)
+    assert by_file["long.mmap"] == [0, 125]  # 250-frame file: two windows
+    assert by_file["clip.npy"] == [0]  # .npy: loaded whole, single window

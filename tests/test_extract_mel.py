@@ -87,3 +87,23 @@ def test_build_groundtruth(tmp_path):
     with open(tmp_path / "groundtruth-all.pk", "rb") as f:
         assert len(pickle.load(f)) == 2  # empty-label clip dropped
     assert (tmp_path / "ohe.pk").exists()
+
+
+def test_output_names_collision_safe(tmp_path):
+    """albumA/01.wav and albumB/01.wav must not map to the same .mmap (the
+    pool would race-write it and training would pair one spectrogram with
+    the other's label)."""
+    from maest_tpu.apps.extract_mel import output_names
+
+    a = tmp_path / "albumA" / "01.wav"
+    b = tmp_path / "albumB" / "01.wav"
+    for p in (a, b):
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.touch()
+    names = output_names([str(a), str(b)])
+    assert len(set(names)) == 2
+    assert names == ["albumA/01", "albumB/01"]
+    # unique basenames keep the flat layout
+    c = tmp_path / "albumA" / "02.wav"
+    c.touch()
+    assert output_names([str(a), str(c)]) == ["01", "02"]
