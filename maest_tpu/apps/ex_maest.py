@@ -110,19 +110,12 @@ def run(argv: list[str]) -> dict:
             output_name = {
                 "embedding": "embeddings", "logit": "logits"}[output_name]
             res = trainer.predict(output_name=output_name)
-    except KeyboardInterrupt:
-        # same semantics as Trainer.fit: a user cancel is INTERRUPTED,
-        # not a crash — run-triage must not count Ctrl-C as a failure
-        finalize_run_json(trainer.run_dir, "INTERRUPTED")
-        raise
-    except Exception:
-        finalize_run_json(trainer.run_dir, "FAILED")
-        raise
-    except BaseException:
-        # SystemExit from a SIGTERM handler (preemption) or sys.exit():
-        # a stop, not a crash — mirror Trainer.fit's classification so
-        # run-triage counts preempted eval/extract runs as INTERRUPTED
-        finalize_run_json(trainer.run_dir, "INTERRUPTED")
+    except BaseException as e:
+        # same semantics as Trainer.fit (shared classify_exit): Ctrl-C and
+        # preemption-shaped SystemExit are INTERRUPTED; sys.exit(1)-style
+        # failure exits from library code and Exceptions are FAILED
+        from ..utils.run_record import classify_exit
+        finalize_run_json(trainer.run_dir, classify_exit(e))
         raise
     finalize_run_json(trainer.run_dir, "COMPLETED", res)
     print(json.dumps(res, indent=2))

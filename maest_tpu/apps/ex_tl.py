@@ -106,6 +106,13 @@ def postprocess_embedding(emb: np.ndarray, types: str, reduce: str,
         emb = emb.mean(axis=0)
     if emb.shape[-1] == token_size:
         return emb
+    if emb.shape[-1] != 3 * token_size:
+        # e.g. a 2E=1536 non-distilled block embedding is divisible by 3
+        # and would silently split into garbage c/d/t parts
+        raise ValueError(
+            f"embedding width {emb.shape[-1]} is neither token_size "
+            f"({token_size}) nor 3*token_size ({3 * token_size}); "
+            "set data.token_size to match the backbone")
     emb = emb.reshape(3, -1)
     parts = {"c": emb[0], "d": emb[1], "t": emb[2]}
     chosen = [v for k, v in parts.items() if k in types]

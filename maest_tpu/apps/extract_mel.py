@@ -139,10 +139,17 @@ def output_names(paths: list[str]) -> list[str]:
         return stems
     parents = [str(Path(p).resolve().parent) for p in paths]
     common = os.path.commonpath(parents)
-    return [
+    names = [
         str((Path(par).relative_to(common) / Path(p).stem))
         for p, par in zip(paths, parents)
     ]
+    if len(set(names)) != len(names):
+        # the same path given twice (or two paths resolving to one file)
+        # would race-write a single .mmap under the process pool — the
+        # exact corruption this function exists to prevent
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate output names for inputs: {dupes}")
+    return names
 
 
 def main(argv=None):

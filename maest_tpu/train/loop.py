@@ -462,7 +462,7 @@ class Trainer:
         with ocp.StandardCheckpointer() as ckptr:
             try:
                 restored = ckptr.restore(Path(path).absolute(), target)
-            except Exception:
+            except Exception as restore_err:
                 # SWA-structure mismatch between this run and the ckpt:
                 # `test` forces do_swa=False (reference ex_maest.py:99) on
                 # checkpoints saved by SWA training runs, and an SWA run
@@ -470,7 +470,18 @@ class Trainer:
                 # swa target, then coerce to this run's setting (a fresh
                 # window when this run wants SWA and the ckpt has none —
                 # swa_n is restored, so a restored window stays intact).
+                # Probe the saved structure first: for any OTHER restore
+                # failure (corrupt ckpt, optimizer mismatch) the original
+                # error must surface, not a confusing alt-target one.
                 want_swa = bool(self.state.swa_params)
+                try:
+                    saved = ckptr.metadata(
+                        Path(path).absolute()).item_metadata.tree
+                    ckpt_has_swa = bool(saved.get("swa_params"))
+                except Exception:
+                    raise restore_err
+                if ckpt_has_swa == want_swa:
+                    raise restore_err  # not an SWA mismatch
                 alt = dict(target)
                 alt["swa_params"] = (
                     {} if want_swa else
@@ -517,17 +528,13 @@ class Trainer:
 
         try:
             result = self._fit()
-        except KeyboardInterrupt:
-            _finalize("INTERRUPTED")
-            raise
-        except Exception:
-            _finalize("FAILED")
-            raise
-        except BaseException:
-            # SystemExit from a SIGTERM handler (preemption) or sys.exit()
-            # in a callback: the run was stopped, not broken — without this
-            # clause run.json stays RUNNING after the process is gone
-            _finalize("INTERRUPTED")
+        except BaseException as e:
+            # SystemExit from a SIGTERM preemption handler and Ctrl-C are
+            # stops, not crashes; a sys.exit(1)-style failure exit or any
+            # Exception is FAILED — without this clause run.json stays
+            # RUNNING after the process is gone (see classify_exit)
+            from ..utils.run_record import classify_exit
+            _finalize(classify_exit(e))
             raise
         finally:
             self.metrics_log.close()  # log() reopens lazily if fit is re-run

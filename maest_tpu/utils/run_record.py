@@ -20,7 +20,26 @@ import sys
 import time
 from pathlib import Path
 
-__all__ = ["write_run_json", "finalize_run_json", "MetricsLog", "git_sha"]
+__all__ = ["write_run_json", "finalize_run_json", "MetricsLog", "git_sha",
+           "classify_exit"]
+
+
+def classify_exit(exc: BaseException) -> str:
+    """Triage status for a run ended by ``exc``.
+
+    KeyboardInterrupt and stop-shaped ``SystemExit`` (code None/0, or the
+    128+signum shell convention — 130 SIGINT / 143 SIGTERM raised by
+    preemption wrappers) are INTERRUPTED: the run was stopped, not broken.
+    A nonzero ``sys.exit(1)``-style exit from library code is a real
+    failure and must not be triaged as a preemption."""
+    if isinstance(exc, KeyboardInterrupt):
+        return "INTERRUPTED"
+    if isinstance(exc, SystemExit):
+        code = exc.code
+        if code is None or code == 0 or code in (130, 143):
+            return "INTERRUPTED"
+        return "FAILED"
+    return "FAILED"
 
 
 def git_sha(cwd: str | os.PathLike | None = None) -> str | None:

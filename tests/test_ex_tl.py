@@ -15,12 +15,18 @@ from maest_tpu.apps.ex_tl import (
 def test_postprocess_embedding_parts():
     emb = np.arange(4 * 3 * 8, dtype="float32").reshape(4, 24)  # 4 chunks, 3x8
     mean = emb.mean(axis=0).reshape(3, 8)
-    out = postprocess_embedding(emb, types="c", reduce="mean")
+    out = postprocess_embedding(emb, types="c", reduce="mean", token_size=8)
     np.testing.assert_allclose(out, mean[0])
-    out = postprocess_embedding(emb, types="cd", reduce="stack")
+    out = postprocess_embedding(emb, types="cd", reduce="stack", token_size=8)
     np.testing.assert_allclose(out, np.hstack([mean[0], mean[1]]))
-    out = postprocess_embedding(emb, types="cdt", reduce="mean")
+    out = postprocess_embedding(emb, types="cdt", reduce="mean", token_size=8)
     np.testing.assert_allclose(out, mean.mean(axis=0))
+    # width neither token_size nor 3*token_size must raise, not silently
+    # split into garbage c/d/t parts (e.g. a 2E block embedding)
+    with pytest.raises(ValueError, match="neither token_size"):
+        postprocess_embedding(
+            np.zeros((4, 16), "float32"), types="c", reduce="mean",
+            token_size=8)
 
 
 @pytest.fixture(scope="module")

@@ -107,3 +107,8 @@ def test_output_names_collision_safe(tmp_path):
     c = tmp_path / "albumA" / "02.wav"
     c.touch()
     assert output_names([str(a), str(c)]) == ["01", "02"]
+    # the same file passed twice (directly or via two resolving paths)
+    # must raise, not race-write one .mmap under the process pool
+    import pytest
+    with pytest.raises(ValueError, match="duplicate output names"):
+        output_names([str(a), str(a)])

@@ -197,9 +197,13 @@ def test_fit_two_process(fit_run, corpus):
     # collective checkpoints committed with proc-0 meta markers
     for tag in ("epoch-0", "epoch-1", "best"):
         assert (run_dir / "checkpoints" / tag).is_dir(), tag
-    assert json.loads(
+    meta = json.loads(
         (run_dir / "checkpoints" / "epoch-1.meta.json").read_text()
-    ) == {"epoch": 1}
+    )
+    assert meta["epoch"] == 1
+    # best_val persisted for resume (round-4 best-val resume fix); the fit
+    # ran eval both epochs so a real best must be recorded
+    assert meta["best_val"] is not None and np.isfinite(meta["best_val"])
 
     # rank-sharded sampling: the two ranks' index streams are disjoint and
     # their union is the single-rank stream (reference:

@@ -50,7 +50,10 @@ def test_run_json_written_at_init(tmp_path):
 
 
 @pytest.mark.parametrize("exc,expected", [
-    (SystemExit(1), "INTERRUPTED"),       # SIGTERM handler / sys.exit()
+    (SystemExit(0), "INTERRUPTED"),        # clean sys.exit()
+    (SystemExit(None), "INTERRUPTED"),     # bare sys.exit()
+    (SystemExit(143), "INTERRUPTED"),      # SIGTERM preemption wrapper
+    (SystemExit(1), "FAILED"),             # library failure exit
     (KeyboardInterrupt(), "INTERRUPTED"),  # user cancel
     (RuntimeError("boom"), "FAILED"),      # crash
 ])
