@@ -148,6 +148,20 @@ class MelChunkDataset:
         mel = self.load_melspectrogram(self.base_dir / filename)
         return {"x": mel, "filename": str(filename), "y": target}
 
+    def _target_filename(self, index: int) -> str:
+        return self.filenames[index]
+
+    def targets_for(self, indices) -> dict:
+        """Per-row targets WITHOUT loading mel. Rank-sharded eval computes
+        the full global batch's targets on every host from groundtruth
+        metadata alone — the hosts only split the (expensive) mel IO
+        (the reference instead gathers targets across DDP ranks,
+        reference: models/module.py:163-180)."""
+        y = np.stack([
+            np.asarray(self.groundtruth[self._target_filename(i)], "float16")
+            for i in indices])
+        return {"y": y}
+
     def batch_spec(self, indices):
         """(paths, offsets, per-item dicts) for the native batch fast path,
         or None when any item needs the python path (.npy files)."""
@@ -181,7 +195,20 @@ def _teacher_target(teacher_dir, filename, threshold: float) -> np.ndarray:
     return hard
 
 
-class MelChunkDatasetTS(MelChunkDataset):
+class _TSTargetsMixin:
+    """Shared teacher-target metadata path for the TS dataset variants
+    (requires ``teacher_dir`` / ``threshold`` attributes)."""
+
+    def targets_for(self, indices) -> dict:
+        out = super().targets_for(indices)
+        out["y_teacher"] = np.stack([
+            _teacher_target(self.teacher_dir, self._target_filename(i),
+                            self.threshold)
+            for i in indices])
+        return out
+
+
+class MelChunkDatasetTS(_TSTargetsMixin, MelChunkDataset):
     """Teacher-student variant (reference: discogs/dataset.py:143-193)."""
 
     def __init__(self, groundtruth_file, base_dir, cfg: DatasetConfig,
@@ -266,6 +293,9 @@ class ExhaustiveMelDataset(MelChunkDataset):
     def __len__(self):
         return len(self.entries)
 
+    def _target_filename(self, index: int) -> str:
+        return self.entries[index][0]
+
     def __getitem__(self, index: int):
         filename, offset = self.entries[index]
         target = np.asarray(self.groundtruth[filename], dtype="float16")
@@ -288,7 +318,7 @@ class ExhaustiveMelDataset(MelChunkDataset):
         return paths, offsets, metas
 
 
-class ExhaustiveMelDatasetTS(ExhaustiveMelDataset):
+class ExhaustiveMelDatasetTS(_TSTargetsMixin, ExhaustiveMelDataset):
     """Exhaustive + teacher targets (reference: discogs/dataset.py:260-318)."""
 
     def __init__(self, groundtruth_file, base_dir, cfg: DatasetConfig,

@@ -623,17 +623,37 @@ class Trainer:
     def _run_eval(self, dataset, stage: str) -> dict:
         cfg = self.cfg
         tr = cfg["trainer"]
-        loader = BatchLoader(
-            dataset, cfg["datamodule"]["batch_size_test"],
-            num_workers=cfg["datamodule"]["num_workers"],
-        )
+        dm = cfg["datamodule"]
+        n_proc = jax.process_count()
+        # Rank-sharded eval loading (reference: discogs/datamodule.py:79-97
+        # DistributedSamplerWrapper on the val/test loaders): each host
+        # reads only 1/P of the mel windows. Requires the mesh data axis to
+        # span processes evenly (pure DP/FSDP); model-parallel-heavy meshes
+        # (data axis not divisible by P) fall back to replicated loading.
+        sharded = (n_proc > 1 and self.n_data % n_proc == 0
+                   and hasattr(dataset, "targets_for"))
+        if sharded:
+            batches = self._rank_sharded_eval_batches(dataset)
+            prefetch_kw = {"process_local": True}
+        else:
+            if n_proc > 1:
+                _logger.warning(
+                    "multi-process eval: data axis %d not divisible by %d "
+                    "processes — every host loads the full eval set",
+                    self.n_data, n_proc)
+            loader = BatchLoader(
+                dataset, dm["batch_size_test"],
+                num_workers=dm["num_workers"],
+            )
+            batches = _pad_batches(iter(loader), self.n_data,
+                                   dm["batch_size_test"])
+            prefetch_kw = {}
         ys, yts, outs, n = [], [], {}, 0
-        batches = _pad_batches(iter(loader), self.n_data,
-                               cfg["datamodule"]["batch_size_test"])
         # only x is prefetched to device: the eval consumes y/y_teacher on
         # HOST (losses recomputed from gathered logits below) — device_put
         # + np.asarray would round-trip the targets over the ~50 MB/s relay
-        for batch in device_prefetch(batches, self.batch_shard, keys=("x",)):
+        for batch in device_prefetch(batches, self.batch_shard, keys=("x",),
+                                     **prefetch_kw):
             n_true = batch["_n"]
             res = self.eval_step(self.state, batch["x"])
             ys.append(np.asarray(batch["y"], np.float32)[:n_true])
@@ -664,13 +684,16 @@ class Trainer:
             ))
 
         # No host-side gather here: every process holds the COMPLETE eval
-        # set by construction — each host loads the full (crop_seed-pinned)
-        # val corpus, and in multi-process mode eval_step's
-        # out_shardings=replicated is the all_gather (on-device, over ICI),
-        # so allgathering again would just feed nproc duplicate copies of
-        # every row into sklearn (reference's rank-sharded DDP eval gathers
-        # host-side instead: models/module.py:163-180; the cross-process
-        # gather utility itself is scenario-tested in multiproc_worker).
+        # outputs by construction — eval_step's out_shardings=replicated is
+        # the all_gather (on-device, over ICI), so every host fetches the
+        # full logits even when the LOADING was rank-sharded; targets come
+        # from groundtruth metadata for the whole batch on every host
+        # (targets_for). Allgathering again would just feed nproc duplicate
+        # copies of every row into sklearn (reference's rank-sharded DDP
+        # eval gathers host-side instead: models/module.py:163-180; the
+        # cross-process gather utility itself is scenario-tested in
+        # multiproc_worker). Metrics are therefore bit-identical on every
+        # host — required, since best-val checkpoint saves are collective.
         y = np.concatenate(ys)
         y_teacher = np.concatenate(yts) if yts else None
         metrics = {}
@@ -694,6 +717,39 @@ class Trainer:
             metrics[f"{stage}_ap{suffix}"] = ap
             metrics[f"{stage}_roc{suffix}"] = roc
         return metrics
+
+    def _rank_sharded_eval_batches(self, dataset):
+        """Generator of eval batches where each host loads only ITS
+        contiguous 1/P block of every global batch (reference:
+        discogs/datamodule.py:79-97 rank-sharded DDP eval).
+
+        ``device_prefetch(process_local=True)`` assembles the global array
+        with proc-0 rows first, so host r's local rows are the r-th block
+        of the global index window. Targets for the FULL window come from
+        ``dataset.targets_for`` (metadata only — no mel IO), keeping every
+        host's metric inputs identical. Pad rows repeat the last sample
+        and are sliced off via ``_n``, exactly as ``_pad_batches`` does."""
+        dm = self.cfg["datamodule"]
+        n_proc = jax.process_count()
+        rank = jax.process_index()
+        N = len(dataset)
+        T = dm["batch_size_test"]
+        T += (-T) % self.n_data  # static global batch, device-divisible
+        n_batches = -(-N // T)
+        if not n_batches:
+            return
+        all_idx = np.arange(n_batches * T)
+        all_idx[N:] = N - 1
+        per = T // n_proc  # n_proc | n_data | T (checked by caller)
+        local = np.concatenate([
+            all_idx[k * T + rank * per: k * T + (rank + 1) * per]
+            for k in range(n_batches)])
+        loader = BatchLoader(dataset, per, num_workers=dm["num_workers"])
+        for k, batch in enumerate(loader.iter_indices(local)):
+            out = {"x": batch["x"]}
+            out.update(dataset.targets_for(all_idx[k * T:(k + 1) * T]))
+            out["_n"] = min(T, N - k * T)
+            yield out
 
     def validate(self) -> dict:
         return self._run_eval(self._val_dataset(), "val")

@@ -157,6 +157,33 @@ def scenario_fit(pid: int, nproc: int, out_dir: Path, corpus: str,
     (out_dir / f"runarc_p{pid}.txt").write_text(str(trainer.run_dir))
 
 
+def scenario_eval(pid: int, nproc: int, out_dir: Path, corpus: str):
+    """Rank-sharded eval (reference: discogs/datamodule.py:79-97): each
+    host loads only 1/P of the val windows, the replicated eval_step
+    output is the on-device gather, and every host computes identical
+    metrics. Counts per-host item loads to prove the IO split."""
+    from maest_tpu.train.loop import Trainer
+
+    cfg = fit_cfg(corpus, str(out_dir / "exp_logs"), None)
+    cfg["trainer"]["limit_val_batches"] = 0  # score the full val set
+    trainer = Trainer(cfg, run_info={"command": "eval"})
+    ds = trainer._val_dataset()
+
+    # force the python item path and count loads on THIS host
+    ds.batch_spec = lambda idxs: None
+    n_loaded = [0]
+    orig = type(ds).__getitem__
+
+    def counting(i, _orig=orig, _ds=ds):
+        n_loaded[0] += 1
+        return _orig(_ds, i)
+
+    ds.__getitem__ = counting
+    metrics = trainer.validate()
+    (out_dir / f"eval_p{pid}.json").write_text(json.dumps(
+        {"metrics": metrics, "n_loaded": n_loaded[0], "n_items": len(ds)}))
+
+
 def main():
     # a wedged collective hangs silently; dump every thread's stack first
     # so the spawning test's captured log shows WHERE (MP_DUMP_AFTER secs)
@@ -184,6 +211,8 @@ def main():
         scenario_steps(pid, nproc, out_dir, fsdp=True)
     elif scenario == "steps_tp":
         scenario_steps(pid, nproc, out_dir, fsdp=False, tp=True)
+    elif scenario == "eval_sharded":
+        scenario_eval(pid, nproc, out_dir, sys.argv[6])
     elif scenario == "fit":
         scenario_fit(pid, nproc, out_dir, sys.argv[6], None)
     elif scenario == "resume":

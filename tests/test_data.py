@@ -94,6 +94,37 @@ def test_teacher_targets(corpus, tmp_path):
     assert yt.sum() >= 1  # argmax fallback guarantees at least one positive
 
 
+def test_targets_for_matches_getitem(corpus, tmp_path):
+    """targets_for (rank-sharded eval metadata path) must agree with the
+    targets __getitem__ would load, for every dataset variant."""
+    from maest_tpu.data import ExhaustiveMelDatasetTS
+
+    root, gt = corpus
+    rng = np.random.default_rng(2)
+    for name in ["a.mmap", "b.mmap", "c.mmap", "d.npy"]:
+        np.save(tmp_path / (name + ".logits.npy"),
+                rng.standard_normal(8).astype("float32") * 3)
+
+    chunk = MelChunkDataset(gt, root, CFG, rng=np.random.default_rng(1))
+    exh = ExhaustiveMelDataset(gt, root, CFG)
+    chunk_ts = MelChunkDatasetTS(
+        gt, root, CFG, teacher_target_base_dir=tmp_path,
+        rng=np.random.default_rng(1))
+    exh_ts = ExhaustiveMelDatasetTS(gt, root, CFG,
+                                    teacher_target_base_dir=tmp_path)
+    for ds in (chunk, exh, chunk_ts, exh_ts):
+        idx = [0, len(ds) - 1, 0]  # incl. a repeated (pad-style) row
+        out = ds.targets_for(idx)
+        assert out["y"].shape == (3, 8)
+        for row, i in zip(out["y"], idx):
+            np.testing.assert_array_equal(row, ds[i]["y"])
+        if ds in (chunk_ts, exh_ts):
+            for row, i in zip(out["y_teacher"], idx):
+                np.testing.assert_array_equal(row, ds[i]["y_teacher"])
+        else:
+            assert "y_teacher" not in out
+
+
 def test_class_balanced_weights():
     y = np.array([[1, 0], [1, 0], [1, 1], [0, 1]], dtype=np.float32)
     w = class_balanced_weights(y, sample_weight_offset=0)
