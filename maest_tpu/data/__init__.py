@@ -7,7 +7,11 @@ from .dataset import (
     load_groundtruth,
 )
 from .loader import BatchLoader, device_prefetch
-from .sampler import class_balanced_weights, weighted_epoch_indices
+from .sampler import (
+    class_balanced_weights,
+    class_balanced_weights_streaming,
+    weighted_epoch_indices,
+)
 
 __all__ = [
     "BatchLoader",
@@ -17,6 +21,7 @@ __all__ = [
     "MelChunkDataset",
     "MelChunkDatasetTS",
     "class_balanced_weights",
+    "class_balanced_weights_streaming",
     "device_prefetch",
     "load_groundtruth",
     "weighted_epoch_indices",

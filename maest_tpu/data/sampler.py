@@ -31,6 +31,45 @@ def class_balanced_weights(
     return all_weight.max(axis=1)
 
 
+def class_balanced_weights_streaming(
+    groundtruth: dict,
+    filenames,
+    sample_weight_offset: float = 100.0,
+    sample_weight_sum: bool = True,
+    chunk_size: int = 65536,
+) -> np.ndarray:
+    """``class_balanced_weights`` without materialising the dense
+    ``(N, n_classes)`` targets matrix.
+
+    At Discogs scale (N≈2M × 400 labels) the dense float64 matrix the
+    reference implicitly builds (reference: discogs/datamodule.py:158-170)
+    is 6.4 GB of transient host RAM; two streamed passes (class counts,
+    then per-sample weights) keep the peak at ``chunk_size`` rows
+    (~200 MB at the default) and return bit-identical weights — summation
+    order per class is preserved because chunks are contiguous."""
+    filenames = list(filenames)
+    n = len(filenames)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    counts = None
+    for lo in range(0, n, chunk_size):
+        block = np.asarray(
+            [groundtruth[f] for f in filenames[lo:lo + chunk_size]],
+            dtype=np.float64)
+        c = block.sum(axis=0)
+        counts = c if counts is None else counts + c
+    per_class_weights = 1000.0 / (counts + sample_weight_offset)
+    out = np.empty(n, dtype=np.float64)
+    for lo in range(0, n, chunk_size):
+        block = np.asarray(
+            [groundtruth[f] for f in filenames[lo:lo + chunk_size]],
+            dtype=np.float64)
+        w = block * per_class_weights
+        out[lo:lo + len(block)] = (
+            w.sum(axis=1) if sample_weight_sum else w.max(axis=1))
+    return out
+
+
 def weighted_epoch_indices(
     weights: np.ndarray,
     epoch_len: int,

@@ -27,7 +27,7 @@ from ..data import (
     ExhaustiveMelDatasetTS,
     MelChunkDataset,
     MelChunkDatasetTS,
-    class_balanced_weights,
+    class_balanced_weights_streaming,
     device_prefetch,
     load_groundtruth,
     weighted_epoch_indices,
@@ -378,10 +378,12 @@ class Trainer:
         # Discogs scale rebuilding the N x 400 matrix every epoch is
         # minutes of pure host stall per epoch on this 1-core machine
         if getattr(self, "_weights_for", None) is not dataset:
-            targets = np.array(
-                [dataset.groundtruth[f] for f in dataset.filenames])
-            self._sample_weights = class_balanced_weights(
-                targets, s["sample_weight_offset"], s["sample_weight_sum"]
+            # streamed: never materialises the dense (N, 400) matrix — at
+            # Discogs scale that transient is GBs of host RAM (measured in
+            # docs/DESIGN.md round-5 dress rehearsal)
+            self._sample_weights = class_balanced_weights_streaming(
+                dataset.groundtruth, dataset.filenames,
+                s["sample_weight_offset"], s["sample_weight_sum"]
             )
             self._weights_for = dataset
         weights = self._sample_weights
@@ -774,18 +776,36 @@ class Trainer:
     def predict(self, output_name: str = "embeddings") -> dict:
         """Exhaustive-window prediction, aggregated per file and written as
         .npy (reference: ex_maest.py:162-207)."""
-        if jax.process_count() > 1:
-            # extraction is single-controller, like the reference's
-            # single-GPU extract commands (ex_maest.py:162-207): outputs
-            # here stay batch-sharded across processes (not replicated as
-            # in eval) and N hosts would race-write the same .npy files
-            raise NotImplementedError(
-                "predict/extract under multi-process jax is not supported; "
-                "run extraction in a single-process launch")
         cfg = self.cfg
         net, mesh, batch_shard = self.net, self.mesh, self.batch_shard
         params = self.state.params
-        if self.pipeline_parallel:
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # Multi-process extraction (beyond reference — its extract
+            # commands are single-GPU, ex_maest.py:162-207): partition by
+            # FILE, and run an INDEPENDENT local-mesh program per host so
+            # each host may process a different file count without any
+            # collective in the loop (a global-mesh program would need
+            # every host to issue identical step counts). Each host writes
+            # only its own files' .npy outputs — no write races. One
+            # up-front collective replicates the (possibly ZeRO-3-sharded)
+            # params so a full copy fits each local mesh.
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            rep = jax.jit(
+                lambda t: t, out_shardings=NamedSharding(self.mesh, P())
+            )(params)
+            host_params = jax.tree.map(
+                lambda a: np.asarray(jax.device_get(a)), rep)
+            mesh = Mesh(
+                np.array(jax.local_devices()).reshape(-1, 1),
+                axis_names=("data", "model"))
+            net = MAESTNet(self.model_cfg, dtype=self.dtype,
+                           mesh=mesh if mesh.size > 1 else None)
+            with mesh:
+                params = jax.device_put(host_params, replicated(mesh))
+            batch_shard = batch_sharding(mesh)
+        elif self.pipeline_parallel:
             # Extraction taps intermediate blocks, which the pipeline
             # front/trunk/tail split does not expose — and inference needs no
             # pipeline memory relief. Degrade to the sequential path on a
@@ -797,8 +817,6 @@ class Trainer:
                 "tap path on a flat %d-way DP mesh",
                 self.pipeline_parallel, self.mesh.size,
             )
-            from ..parallel.mesh import make_mesh, replicated
-
             mesh = make_mesh(self.mesh.size)
             net = MAESTNet(self.model_cfg, dtype=self.dtype,
                            mesh=mesh if mesh.size > 1 else None)
@@ -812,12 +830,20 @@ class Trainer:
         )
         loader = BatchLoader(ds, dm["batch_size_test"],
                              num_workers=dm["num_workers"])
+        if n_proc > 1:
+            # per-FILE stride so every window of a file stays on one host
+            # (aggregation and the .npy write are per-file)
+            keep = set(ds.filenames[jax.process_index()::n_proc])
+            batch_iter = loader.iter_indices(
+                [i for i in range(len(ds)) if ds._target_filename(i) in keep])
+        else:
+            batch_iter = iter(loader)
         predict_step = make_predict_step(net, self.aug)
         block = cfg["predict"]["transformer_block"]
 
         agg: dict[str, list] = {}
         with mesh:
-            batches = _pad_batches(iter(loader), mesh.shape["data"],
+            batches = _pad_batches(batch_iter, mesh.shape["data"],
                                    dm["batch_size_test"])
             for batch in device_prefetch(batches, batch_shard):
                 out = predict_step(params, _step_batch(batch), block)
@@ -831,7 +857,15 @@ class Trainer:
             path = out_dir / (fname + f".{output_name}.npy")
             path.parent.mkdir(parents=True, exist_ok=True)
             np.save(path, np.array(vs))
-        return {"n_files": len(agg), "out_dir": str(out_dir)}
+        n_files = len(agg)
+        if n_proc > 1:
+            # every host reaches this exactly once after its local loop —
+            # one symmetric collective to report the GLOBAL file count
+            from .metrics import gather_across_hosts
+
+            n_files = int(gather_across_hosts(
+                np.array([n_files], np.int64)).sum())
+        return {"n_files": n_files, "out_dir": str(out_dir)}
 
     def _predict_out_dir(self) -> Path:
         """Output dir naming incl. deterministic-patchout tags

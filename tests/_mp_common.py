@@ -55,6 +55,39 @@ def build_step(mesh, fsdp: bool):
     return step_fn, state
 
 
+def build_step_pp(mesh, fsdp: bool):
+    """Pipeline-parallel twin of ``build_step`` (GPipe over the mesh's
+    ``pipe`` axis, 1 block per stage at depth 2, 2 microbatches). Params
+    stay replicated (or ZeRO-3 data-sharded under fsdp) exactly as the
+    Trainer stores them."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from maest_tpu.models.vit import MAESTNet, init_params
+    from maest_tpu.parallel.mesh import shard_params
+    from maest_tpu.parallel.pipeline import make_pipeline_train_step
+    from maest_tpu.train.state import TrainState, make_optimizer
+    from maest_tpu.train.steps import AugmentConfig
+
+    cfg = tiny_cfg()
+    net = MAESTNet(cfg, dtype=jnp.float32)  # stage compute is manual
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(lr_schedule=1e-3, adamw=True)
+    step_fn = make_pipeline_train_step(
+        net, tx, AugmentConfig(), mesh=mesh, num_microbatches=2,
+        donate=False, fsdp=fsdp,
+    )
+    with mesh:
+        if fsdp:
+            params = shard_params(params, mesh, fsdp=True,
+                                  tensor_parallel=False)
+        else:
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        state = TrainState.create(params, tx)
+    return step_fn, state
+
+
 def replicate_host(tree, mesh):
     """Fetch a (possibly sharded) pytree to host as full numpy arrays."""
     import jax

@@ -157,6 +157,52 @@ def scenario_fit(pid: int, nproc: int, out_dir: Path, corpus: str,
     (out_dir / f"runarc_p{pid}.txt").write_text(str(trainer.run_dir))
 
 
+def scenario_steps_pp(pid: int, nproc: int, out_dir: Path, fsdp: bool):
+    """GPipe pipeline parallelism with the ``pipe`` axis spanning the REAL
+    process boundary: every stage-to-stage ppermute is a cross-process
+    gloo collective (the dryrun only ever runs the pipeline inside one
+    process). The mesh grid is transposed so each pipe pair holds one
+    device from EACH process; the data-axis rows are then addressable by
+    both processes, so each host feeds the full batch (as in the TP
+    scenario). Compared against a single-process run over the identical
+    (data=2, pipe=2) partitioning."""
+    from jax.sharding import Mesh
+
+    from maest_tpu.data.loader import device_prefetch
+    from maest_tpu.parallel.mesh import batch_sharding
+
+    from _mp_common import build_step_pp
+
+    devices = jax.devices()
+    assert len(devices) == 4
+    # reshape (pipe, data, model) then transpose: pipe pairs = (d0, d2) /
+    # (d1, d3) — one device of each process per pipeline
+    grid = np.array(devices).reshape(2, 2, 1).transpose(1, 0, 2)
+    mesh = Mesh(grid, axis_names=("data", "pipe", "model"))
+    pipe_procs = {d.process_index for d in grid[0, :, 0]}
+    assert len(pipe_procs) == nproc, (
+        f"pipe axis does not cross the process boundary: {pipe_procs}")
+
+    step_fn, state = build_step_pp(mesh, fsdp)
+    x, y = global_batch()
+    local = {"x": x, "y": y}  # every data row is host-addressable: full batch
+
+    with mesh:
+        shard = batch_sharding(mesh)
+        key = jax.random.PRNGKey(STEP_KEY)
+        losses = []
+        for batch in device_prefetch(iter([local] * N_STEPS), shard,
+                                     process_local=True):
+            state, m = step_fn(state, batch, key)
+            losses.append(float(m["train_loss"]))
+        final = flatten_params(replicate_host(state.params, mesh))
+
+    if pid == 0:
+        tag = "pp_fsdp" if fsdp else "pp"
+        np.savez(out_dir / f"steps_{tag}.npz",
+                 losses=np.array(losses), **final)
+
+
 def scenario_eval(pid: int, nproc: int, out_dir: Path, corpus: str):
     """Rank-sharded eval (reference: discogs/datamodule.py:79-97): each
     host loads only 1/P of the val windows, the replicated eval_step
@@ -182,6 +228,23 @@ def scenario_eval(pid: int, nproc: int, out_dir: Path, corpus: str):
     metrics = trainer.validate()
     (out_dir / f"eval_p{pid}.json").write_text(json.dumps(
         {"metrics": metrics, "n_loaded": n_loaded[0], "n_items": len(ds)}))
+
+
+def scenario_predict(pid: int, nproc: int, out_dir: Path, corpus: str):
+    """Multi-process extraction: per-FILE partition, each host runs an
+    independent local-mesh program and writes only its own .npy files
+    (beyond reference — its extract commands are single-GPU,
+    ex_maest.py:162-207). Hosts process different window counts, which a
+    global-mesh program could not do."""
+    from maest_tpu.train.loop import Trainer
+
+    cfg = fit_cfg(corpus, str(out_dir / "exp_logs"), None)
+    cfg["datamodule"]["groundtruth_predict"] = f"{corpus}/gt.pk"
+    cfg["predict"] = {"transformer_block": 1,
+                      "out_dir": str(out_dir / "pred")}
+    trainer = Trainer(cfg, run_info={"command": "predict"})
+    res = trainer.predict(output_name="embeddings")
+    (out_dir / f"predict_p{pid}.json").write_text(json.dumps(res))
 
 
 def main():
@@ -211,8 +274,14 @@ def main():
         scenario_steps(pid, nproc, out_dir, fsdp=True)
     elif scenario == "steps_tp":
         scenario_steps(pid, nproc, out_dir, fsdp=False, tp=True)
+    elif scenario == "steps_pp":
+        scenario_steps_pp(pid, nproc, out_dir, fsdp=False)
+    elif scenario == "steps_pp_fsdp":
+        scenario_steps_pp(pid, nproc, out_dir, fsdp=True)
     elif scenario == "eval_sharded":
         scenario_eval(pid, nproc, out_dir, sys.argv[6])
+    elif scenario == "predict":
+        scenario_predict(pid, nproc, out_dir, sys.argv[6])
     elif scenario == "fit":
         scenario_fit(pid, nproc, out_dir, sys.argv[6], None)
     elif scenario == "resume":

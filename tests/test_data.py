@@ -132,6 +132,22 @@ def test_class_balanced_weights():
     np.testing.assert_allclose(w, [1000 / 3, 1000 / 3, 1000 / 3 + 500, 500])
 
 
+def test_class_balanced_weights_streaming_matches_dense():
+    from maest_tpu.data import class_balanced_weights_streaming
+
+    rng = np.random.default_rng(3)
+    n, c = 1000, 17
+    targets = (rng.random((n, c)) > 0.8).astype("float16")
+    gt = {f"f{i}.mmap": targets[i] for i in range(n)}
+    names = list(gt)
+    for wsum in (True, False):
+        dense = class_balanced_weights(targets, 100.0, wsum)
+        stream = class_balanced_weights_streaming(
+            gt, names, 100.0, wsum, chunk_size=64)
+        np.testing.assert_array_equal(stream, dense)
+    assert class_balanced_weights_streaming({}, []).shape == (0,)
+
+
 def test_weighted_indices_sharded_and_deterministic():
     w = np.ones(100)
     a0 = weighted_epoch_indices(w, 40, seed=7, epoch=3, rank=0, num_replicas=2)

@@ -169,6 +169,52 @@ def corpus(tmp_path_factory):
     return root
 
 
+def _single_process_pipeline_reference(fsdp: bool):
+    """The same N_STEPS over an identical (data=2, pipe=2) partitioning,
+    one process."""
+    from jax.sharding import Mesh
+
+    from maest_tpu.parallel.mesh import batch_sharding
+    from _mp_common import build_step_pp
+
+    grid = np.array(jax.devices()[:4]).reshape(2, 2, 1)
+    mesh = Mesh(grid, axis_names=("data", "pipe", "model"))
+    step_fn, state = build_step_pp(mesh, fsdp)
+    x, y = global_batch()
+    with mesh:
+        shard = batch_sharding(mesh)
+        batch = {"x": jax.device_put(x, shard), "y": jax.device_put(y, shard)}
+        key = jax.random.PRNGKey(STEP_KEY)
+        losses = []
+        for _ in range(N_STEPS):
+            state, m = step_fn(state, batch, key)
+            losses.append(float(m["train_loss"]))
+        params = flatten_params(replicate_host(state.params, mesh))
+    return np.array(losses), params
+
+
+@pytest.mark.parametrize("mode", ["pp", "pp_fsdp"])
+def test_pipeline_steps_match_single_process(tmp_path, mode):
+    """2-process GPipe pipeline (VERDICT r4 #3): the stage-to-stage
+    ppermute crosses a REAL gloo process boundary (the mesh is transposed
+    so each pipe pair spans both processes); losses and final params must
+    reproduce the single-process pipeline over the same partitioning."""
+    scenario = {"pp": "steps_pp", "pp_fsdp": "steps_pp_fsdp"}[mode]
+    _spawn(scenario, tmp_path)
+    rec = np.load(tmp_path / f"steps_{mode}.npz")
+
+    ref_losses, ref_params = _single_process_pipeline_reference(
+        fsdp=mode == "pp_fsdp")
+    np.testing.assert_allclose(rec["losses"], ref_losses, rtol=0, atol=1e-6)
+    for name, ref in ref_params.items():
+        np.testing.assert_allclose(
+            rec[name], ref, rtol=1e-5, atol=1e-5,
+            err_msg=f"param {name} diverged between 1-proc and 2-proc "
+                    "pipeline runs",
+        )
+    assert np.isfinite(rec["losses"]).all()
+
+
 def test_eval_rank_sharded_matches_replicated(corpus, tmp_path):
     """Rank-sharded eval (VERDICT r4 #2): two real processes each load
     HALF the val windows; metrics are bit-identical across hosts and match
@@ -200,6 +246,41 @@ def test_eval_rank_sharded_matches_replicated(corpus, tmp_path):
     for k, v in ref.items():
         assert abs(recs[0]["metrics"][k] - v) < 1e-5, (
             k, recs[0]["metrics"][k], v)
+
+
+def test_predict_two_process_partitions_files(corpus, tmp_path):
+    """Multi-process extraction (VERDICT r4 #7): hosts partition by FILE,
+    each writes only its own .npy outputs, the union covers the corpus,
+    and every embedding matches the single-process run."""
+    import json
+
+    _spawn("predict", tmp_path, str(corpus))
+    recs = [json.loads((tmp_path / f"predict_p{i}.json").read_text())
+            for i in range(NPROC)]
+    # the gathered GLOBAL file count is reported identically on all hosts
+    assert recs[0]["n_files"] == recs[1]["n_files"] == 12
+
+    pred_root = Path(recs[0]["out_dir"])
+    files = sorted(pred_root.glob("*.embeddings.npy"))
+    assert len(files) == 12  # union of both hosts' writes
+
+    # single-process reference over the same config
+    from maest_tpu.train.loop import Trainer
+    from _mp_common import fit_cfg
+
+    cfg = fit_cfg(str(corpus), str(tmp_path / "ref_logs"), None)
+    cfg["datamodule"]["groundtruth_predict"] = f"{corpus}/gt.pk"
+    cfg["predict"] = {"transformer_block": 1,
+                      "out_dir": str(tmp_path / "ref_pred")}
+    res = Trainer(cfg, run_info={"command": "predict"}).predict(
+        output_name="embeddings")
+    assert res["n_files"] == 12
+    ref_root = Path(res["out_dir"])
+    for f in files:
+        ref = np.load(ref_root / f.name)
+        np.testing.assert_allclose(
+            np.load(f), ref, atol=1e-5, rtol=1e-5,
+            err_msg=f"{f.name} diverged between 1-proc and 2-proc extraction")
 
 
 @pytest.fixture(scope="module")
