@@ -49,7 +49,12 @@ CLIP_SECONDS = 30.0
 FLOP_PER_CLIP = 0.40e12
 
 
-def main():
+def measure_fused(batch: int = 32, iters: int = 30) -> dict:
+    """Measure the fused wave->mel->ViT->sigmoid program (the headline
+    metric's exact timed program) and return {ms_per_step, audio_s_per_s,
+    implied_tflops}. Shared with scripts/tpu_acceptance.py so an inference
+    regression fails the on-device band instead of only surfacing in the
+    next round's driver BENCH."""
     from maest_tpu.models.registry import build_config
     from maest_tpu.models.vit import MAESTNet, init_params
 
@@ -67,8 +72,6 @@ def main():
     params = jax.device_put(
         jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     )
-
-    batch = 32
 
     from maest_tpu.dsp import HOP_LENGTH, log_mel_spectrogram
 
@@ -105,7 +108,6 @@ def main():
     out2 = np.asarray(forward_chained(params, x * 1.5, x)[0], np.float32)
     assert not np.allclose(out, out2)
 
-    iters = 30
     t0 = time.perf_counter()
     o = x
     logits = None
@@ -124,7 +126,16 @@ def main():
         f"implied {implied_tflops:.0f} TFLOP/s exceeds v5e peak - "
         "timing did not force execution"
     )
+    return {
+        "ms_per_step": round(sec_per_step * 1e3, 1),
+        "audio_s_per_s": round(audio_sec_per_s, 1),
+        "implied_tflops": round(implied_tflops, 1),
+    }
 
+
+def main():
+    res = measure_fused(batch=32, iters=30)
+    audio_sec_per_s = res["audio_s_per_s"]
     print(
         json.dumps(
             {

@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
 
@@ -44,8 +43,6 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="smaller batches, fewer timing iters")
     args = ap.parse_args()
-    iters = 5 if args.quick else 20
-    batch = 8 if args.quick else 32
 
     from maest_tpu.models.registry import build_config
     from maest_tpu.models.vit import MAESTNet, init_params
@@ -149,27 +146,20 @@ def main():
         1 / (1 + np.exp(-l32)) - 1 / (1 + np.exp(-lbf))).max())
     check("bf16_vs_fp32_activations", act_err < 2e-2, f"max|d sigmoid|={act_err:.2e}")
 
-    # -- 4. throughput (lazy-relay-safe) --------------------------------------
-    pbf = jax.device_put(jax.tree.map(lambda a: a.astype(jnp.bfloat16), params))
-    xb = jnp.asarray(rng.standard_normal((batch, 96, 1875)), jnp.bfloat16)
+    # -- 4. inference throughput + band (lazy-relay-safe) ---------------------
+    # The EXACT headline program (bench.py fused wave->mel->ViT->sigmoid,
+    # b32): a kernel regression in inference fails HERE instead of only
+    # surfacing in the next round's driver BENCH (VERDICT r4 #5). Record
+    # ~131 ms / 7201-7391 audio-s/s (BENCH_r03/r04); band = +15%, matching
+    # the train-step bands' device-window noise allowance.
+    import bench
 
-    @jax.jit
-    def fwd(p, x, x0):
-        logits, _ = netbf.apply({"params": p}, x[..., None], train=False)
-        return logits, x0 + (1e-6 * logits[0, 0]).astype(x0.dtype)
-
-    logits, o = fwd(pbf, xb, xb)
-    _ = float(logits[0, 0])
-    t0 = time.perf_counter()
-    o = xb
-    for _ in range(iters):
-        logits, o = fwd(pbf, o, xb)
-    _ = float(logits[0, 0])
-    dt = (time.perf_counter() - t0) / iters
-    tput = batch * 30.0 / dt
-    implied_tflops = batch * 0.4e12 / dt / 1e12
-    check("inference_throughput", implied_tflops < 400,
-          f"{tput:.0f} audio-s/s ({dt*1e3:.0f} ms/step, {implied_tflops:.0f} TF/s)")
+    f = bench.measure_fused(batch=32, iters=10 if args.quick else 30)
+    check("inference_throughput", f["implied_tflops"] < 400,
+          f"{f['audio_s_per_s']:.0f} audio-s/s ({f['ms_per_step']} ms/step, "
+          f"{f['implied_tflops']:.0f} TF/s)")
+    check("inference_30s_band", f["ms_per_step"] <= 131.0 * 1.15,
+          f"{f['ms_per_step']} ms/step (record ~131 ms, band 150.7)")
 
     # -- 5. train-step band at the TRUE 30 s recipe shape ----------------------
     # The round-3 harness-geometry bug (spt=60 instead of 90) skewed every
