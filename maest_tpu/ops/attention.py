@@ -287,9 +287,39 @@ def _unflatten(x, b: int, n: int, h: int, d: int):
     return jnp.swapaxes(x[:, :n].reshape(b, h, n, d), 1, 2)
 
 
+def _sublane_q_pad(n: int, n_pad: int, n_real: int | None,
+                   quant: str | None, bwd_quant: str | None,
+                   for_train: bool) -> int:
+    """Sublane-only q-row padding (round-5 lever, QPAD_r05.json).
+
+    Mosaic needs the LANE (key) dim at 128, but q-block ROWS only need
+    sublane-8 alignment: when the caller did not pre-pad the stream
+    (pad-once covers the 20/30 s classes; here n == n_pad already and
+    this is a no-op), padding q to round_up(n, 8) instead of n_pad cuts
+    the dead score-matrix rows — 25% at the 10 s train shape (281 -> 288
+    vs 384; measured -8% fwd / -13% fwd+lse per call). Applies only to
+    the bf16 single-q-block kernels; quantized paths and beyond-VMEM
+    sequences keep the uniform pad (their kernels assume n_pad rows).
+    ``for_train`` also requires the full-K bf16 backward to be the one
+    that will consume the (b*h, 1, nq)-shaped lse."""
+    if n_real is not None and n_real != n:
+        return n_pad  # pre-padded stream: rows beyond n are live layout
+    if quant is not None:
+        return n_pad
+    nq = _round_up(n, 8)
+    if nq >= n_pad:
+        return n_pad
+    if for_train and (bwd_quant is not None
+                      or n_pad > _FULL_K_BWD_MAX_N_PAD
+                      or nq * n_pad > _BWD_VMEM_ROWS):
+        return n_pad
+    return nq
+
+
 def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
                    with_lse: bool = True, n_real: int | None = None,
-                   quant: str | None = None):
+                   quant: str | None = None,
+                   bwd_quant: str | None = None):
     """q, k, v: (B, N, H, D) -> (out (B, N, H, D), lse (B*H, 1, N_pad)).
 
     ``with_lse=False`` (the inference primal) emits only the output —
@@ -311,19 +341,29 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
     n_pad = _round_up(n, 128)
     bq = _pick_block(n_pad, block_q)
     bk = _pick_block(n_pad, block_k)
+    # sublane-only q padding: single-q-block programs may shrink the q-row
+    # axis to round_up(n, 8) (keys stay lane-padded at n_pad); the lse (if
+    # emitted) is then (b*h, 1, nq) and the matching backward runs the
+    # same nq (the _sublane_q_pad predicate is deterministic in both)
+    nq = (_sublane_q_pad(n, n_pad, n_real, quant, bwd_quant,
+                         for_train=with_lse)
+          if bq == n_pad else n_pad)
     g = _pick_group(n_pad, b * h) if bq == n_pad else 1
+    if nq != n_pad:
+        bq = nq
 
-    qf, kf, vf = _flatten_pad(n_pad, q, k, v)
+    qf = _flatten_pad(nq, q)[0]
+    kf, vf = _flatten_pad(n_pad, k, v)
 
     # g whole heads per program via a flat (g, ...) BlockSpec over the
     # unreshaped arrays — no XLA relayout; g == 1 is the classic layout.
-    grid = (b * h // g, n_pad // bq)
-    out_shape = [jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype)]
+    grid = (b * h // g, nq // bq)
+    out_shape = [jax.ShapeDtypeStruct((b * h, nq, d), q.dtype)]
     out_specs = [pl.BlockSpec((g, bq, d), lambda i, j: (i, j, 0))]
     if with_lse:
-        # (bh, 1, n_pad): the singleton sublane dim satisfies Mosaic's
+        # (bh, 1, nq): the singleton sublane dim satisfies Mosaic's
         # block-shape divisibility rule for the (g, 1, bq) blocks
-        out_shape.append(jax.ShapeDtypeStruct((b * h, 1, n_pad), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b * h, 1, nq), jnp.float32))
         out_specs.append(pl.BlockSpec((g, 1, bq), lambda i, j: (i, 0, j)))
 
     if quant in (None, "fp8", "fp8pv8"):
@@ -816,25 +856,31 @@ def _flash_bwd_split(q, k, v, o, lse, g, *, block_q: int, block_k: int,
 
 
 def _flash_bwd(q, k, v, o, lse, g, *, block_q: int, block_k: int,
-               interpret: bool, n_real: int | None = None):
+               interpret: bool, n_real: int | None = None,
+               n_qpad: int | None = None):
     b, n, h, d = q.shape
     scale = d**-0.5
     n_pad = _round_up(n, 128)
-    bq = _pick_block(n_pad, block_q)
+    # sublane-only q padding (see _sublane_q_pad): q/do/o rows and the
+    # saved lse run at nq < n_pad; keys/values stay lane-padded. The
+    # single q block then covers all nq rows (VMEM bound pre-checked).
+    nq = n_pad if n_qpad is None else n_qpad
+    bq = _pick_block(n_pad, block_q) if nq == n_pad else nq
     bk = _pick_block(n_pad, block_k)
 
-    qf, kf, vf, dof, of = _flatten_pad(n_pad, q, k, v, g, o)
+    qf, dof, of = _flatten_pad(nq, q, g, o)
+    kf, vf = _flatten_pad(n_pad, k, v)
     kt = jnp.swapaxes(kf, 1, 2)  # (b*h, d, n_pad)
 
     grp = (_pick_group(n_pad, b * h, _TUNED_BWD_GROUP)
-           if bq == n_pad else 1)
-    grid = (b * h // grp, n_pad // bq)
+           if bq in (n_pad, nq) else 1)
+    grid = (b * h // grp, nq // bq)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, scale=scale,
                           n_real=n if n_real is None else n_real,
                           block_k=bk),
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
             jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
         ],
@@ -965,7 +1011,7 @@ def flash_attention(q, k, v, block_q: int | None = None,
 def _fwd(q, k, v, block_q, block_k, interpret, n_real, quant, bwd_quant):
     out, lse = _flash_fwd_lse(q, k, v, block_q=block_q, block_k=block_k,
                               interpret=interpret, n_real=n_real,
-                              quant=quant)
+                              quant=quant, bwd_quant=bwd_quant)
     return out, (q, k, v, out, lse)
 
 
@@ -1017,8 +1063,18 @@ def _bwd(block_q, block_k, interpret, n_real, quant, bwd_quant, res, g):
         return _flash_bwd_q8(q, k, v, o, lse, g,
                              block_q=_pick_bwd_block(n_pad),
                              interpret=interpret, n_real=n_real)
+    # must mirror the forward's lse shape: same deterministic predicate,
+    # INCLUDING the forward's single-q-block condition (multi-block
+    # forwards emit an n_pad-shaped lse and never apply q-padding)
+    if _pick_block(n_pad, block_q) == n_pad:
+        nq = _sublane_q_pad(q.shape[1], n_pad, n_real, quant,
+                            bwd_quant if bwd_quant != "none" else None,
+                            for_train=True)
+    else:
+        nq = n_pad
     return _flash_bwd(q, k, v, o, lse, g, block_q=_pick_bwd_block(n_pad),
-                      block_k=1 << 30, interpret=interpret, n_real=n_real)
+                      block_k=1 << 30, interpret=interpret, n_real=n_real,
+                      n_qpad=None if nq == n_pad else nq)
 
 
 _flash_attention_vjp.defvjp(_fwd, _bwd)

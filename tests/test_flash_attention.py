@@ -35,6 +35,41 @@ def test_tuned_single_block_dispatch_matches_reference():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_sublane_q_pad_fwd_bwd_matches_reference():
+    """The 10 s shape (N=281 -> q rows padded to 288, keys to 384): the
+    sublane-only q-pad kernels (round-5 lever, QPAD_r05.json) must match
+    the oracle in both fwd and grads, and the predicate must fire exactly
+    where intended."""
+    from maest_tpu.ops.attention import _sublane_q_pad
+
+    # fires: plain 10 s-class call, bf16 single block
+    assert _sublane_q_pad(281, 384, 281, None, None, True) == 288
+    assert _sublane_q_pad(281, 384, None, None, None, False) == 288
+    # no-op: pre-padded pad-once stream (n == n_pad)
+    assert _sublane_q_pad(896, 896, 866, None, None, True) == 896
+    # no-op: quantized forward; int8 backward under train
+    assert _sublane_q_pad(281, 384, 281, "qk8", None, True) == 384
+    assert _sublane_q_pad(281, 384, 281, None, "int8", True) == 384
+    # int8 bwd does NOT block the inference primal (no lse consumer)
+    assert _sublane_q_pad(281, 384, 281, None, "int8", False) == 288
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    b, n, h, d = 2, 281, 4, 64
+    q, k, v = _rand(k1, (b, n, h, d)), _rand(k2, (b, n, h, d)), _rand(k3, (b, n, h, d))
+    out = flash_attention(q, k, v, interpret=True)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    g1 = jax.grad(lambda *a: jnp.sum(flash_attention(*a, interpret=True) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(lambda *a: jnp.sum(attention_reference(*a) ** 2),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_split_backward_matches_reference():
     """The larger-than-VMEM backward path (dq / dkv split kernels, VMEM
     bounded by (block_q, block_k)) must produce the same gradients as the
