@@ -574,10 +574,24 @@ class MAESTNet(nn.Module):
         head_dim = cfg.embed_dim // cfg.num_heads
         needs_drop = cfg.attn_drop_rate > 0.0 and train
         n_128 = round_up(n_tokens, 128)
-        flash_path = (cfg.attention_impl in ("auto", "flash")
-                      and not needs_drop and use_flash(n_tokens, head_dim)
-                      and n_128 <= _PAD_ONCE_MAX_RATIO * n_tokens)
-        n_res = n_128 if flash_path else n_tokens
+        flash_ok = (cfg.attention_impl in ("auto", "flash")
+                    and not needs_drop and use_flash(n_tokens, head_dim))
+        if flash_ok and n_128 <= _PAD_ONCE_MAX_RATIO * n_tokens:
+            n_res = n_128  # lane pad-once (20/30 s classes)
+        elif flash_ok:
+            # Sublane pad-once (round 5): when the lane pad fails the
+            # ratio gate (10 s train: 384/281 = 1.37 REGRESSES), an
+            # 8-multiple stream still aligns every LN/MLP/projection row
+            # tile at ~zero extra FLOPs (288/281 = 1.025) and lets the
+            # attention q side run pad-free — the kernel's sublane q-pad
+            # (ops/attention.py::_sublane_q_pad) keeps q at these n rows
+            # while lane-padding only the keys. Measured: 10 s B100 train
+            # 186.0 -> 180.6 ms / 553.7 specs/s (QPAD_r05.json
+            # sublane_pad_once row; cumulative round-5 at this shape:
+            # 199.5 -> 180.6 ms, +10.5%).
+            n_res = round_up(n_tokens, 8)
+        else:
+            n_res = n_tokens
         if n_res != n_tokens:
             x = jnp.pad(x, ((0, 0), (0, n_res - n_tokens), (0, 0)))
         n_real = n_tokens if n_res != n_tokens else None

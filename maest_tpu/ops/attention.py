@@ -301,9 +301,13 @@ def _sublane_q_pad(n: int, n_pad: int, n_real: int | None,
     the bf16 single-q-block kernels; quantized paths and beyond-VMEM
     sequences keep the uniform pad (their kernels assume n_pad rows).
     ``for_train`` also requires the full-K bf16 backward to be the one
-    that will consume the (b*h, 1, nq)-shaped lse."""
-    if n_real is not None and n_real != n:
-        return n_pad  # pre-padded stream: rows beyond n are live layout
+    that will consume the (b*h, 1, nq)-shaped lse.
+
+    ``n_real`` does not gate this: q rows in [n_real, n) are live layout
+    (sublane pad-once streams) and are kept — nq >= n always covers the
+    caller's full stream; rows in [n, nq) are kernel-internal zero pads
+    whose outputs _unflatten slices off and whose dk/dv contributions
+    vanish (zero q AND zero do)."""
     if quant is not None:
         return n_pad
     nq = _round_up(n, 8)

@@ -182,17 +182,17 @@ def main():
 
     if not args.quick:
         # Same guard at the OTHER recipe shape (the composition rule: every
-        # train claim holds at both). 10 s stream is UNpadded (pad-once gated
-        # off at ratio 1.37): n_pad == n_tokens == 281. Record 186.5 ms
-        # (round-5 sublane q-pad lever, QPAD_r05.json; was 199.5 in
-        # BENCH_TRAIN_r04 / DECOMP10_r04).
+        # train claim holds at both). 10 s stream runs the round-5 SUBLANE
+        # pad-once (281 -> 288; lane pad-once stays gated off at ratio
+        # 1.37) + sublane q-pad kernels. Record 180.6 ms (QPAD_r05.json;
+        # was 199.5 in BENCH_TRAIN_r04 / DECOMP10_r04).
         t10 = bench_train.measure_shape(10, 100, 30, iters=20, rounds=2)
         check("train_step_10s_geometry",
-              t10["n_pad"] == 281 and t10["n_tokens"] == 281,
+              t10["n_pad"] == 288 and t10["n_tokens"] == 281,
               f"n_tokens={t10['n_tokens']} n_pad={t10['n_pad']}")
-        check("train_step_10s_band", t10["ms_per_step"] <= 186.5 * 1.15,
+        check("train_step_10s_band", t10["ms_per_step"] <= 180.6 * 1.15,
               f"{t10['ms_per_step']} ms/step ({t10['specs_per_s']} specs/s, "
-              f"record 186.5)")
+              f"record 180.6)")
 
     print(json.dumps({k: v for k, v in RESULTS.items()}))
     if not all(v["ok"] for v in RESULTS.values()):

@@ -228,6 +228,53 @@ def test_pad_once_model_matches_xla_path(monkeypatch):
                                rtol=1e-3, atol=1e-4)
 
 
+def test_sublane_pad_once_model_matches_xla_path(monkeypatch):
+    """Round-5 sublane pad-once: a geometry whose lane pad FAILS the
+    ratio gate (83 tokens -> 128 is 1.54 > 1.15) pads the stream to
+    round_up(n, 8) = 88 instead; logits/taps must match the unpadded XLA
+    path (pad rows masked as keys, dropped before heads/taps)."""
+    import dataclasses
+    import functools
+
+    from maest_tpu.models.config import MAESTConfig
+    from maest_tpu.models.vit import MAESTNet, init_params
+    from maest_tpu.ops import attention as A
+
+    # t=9 patch cols -> 9*9+2 = 83 tokens: lane ratio 128/83 = 1.54
+    cfg = MAESTConfig(img_size=(96, 96), embed_dim=64, depth=2, num_heads=4,
+                      num_classes=5)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 96, 96, 1)), jnp.float32
+    )
+
+    def run(impl_cfg):
+        net = MAESTNet(impl_cfg)
+        logits, feats = net.apply({"params": params}, x, train=False)
+        _, tap = net.apply({"params": params}, x, train=False,
+                           transformer_block=1)
+        return logits, feats, tap
+
+    ref_logits, ref_feats, ref_tap = run(
+        dataclasses.replace(cfg, attention_impl="xla")
+    )
+
+    orig_flash = A.flash_attention
+    monkeypatch.setattr(A, "use_flash", lambda n, d: True)
+    monkeypatch.setattr(
+        A, "flash_attention", functools.partial(orig_flash, interpret=True)
+    )
+    pad_logits, pad_feats, pad_tap = run(cfg)
+
+    np.testing.assert_allclose(np.asarray(pad_logits), np.asarray(ref_logits),
+                               rtol=1e-3, atol=1e-4)
+    for a, r in zip(pad_feats, ref_feats):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pad_tap), np.asarray(ref_tap),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_int8_quant_matches_reference():
     """qk8 / qk8pv8 forward: int8 MXU arithmetic with exact rescale must
     stay within the quantization-noise band of the fp32 reference (well
