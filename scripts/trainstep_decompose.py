@@ -57,7 +57,9 @@ import numpy as np  # noqa: E402
 # shape -> (batch, frames, s_patchout_t, stream N, n_real for the kernel)
 GEOMETRIES = {
     "30s": (32, 1875, 90, 896, 866),
-    "10s": (100, 625, 30, 281, None),
+    # round 5: the 10 s stream runs SUBLANE pad-once (281 -> 288 with
+    # n_real=281); isolated components must match the shipped geometry
+    "10s": (100, 625, 30, 288, 281),
 }
 
 
