@@ -729,28 +729,37 @@ class Trainer:
         with proc-0 rows first, so host r's local rows are the r-th block
         of the global index window. Targets for the FULL window come from
         ``dataset.targets_for`` (metadata only — no mel IO), keeping every
-        host's metric inputs identical. Pad rows repeat the last sample
-        and are sliced off via ``_n``, exactly as ``_pad_batches`` does."""
+        host's metric inputs identical.
+
+        Batch composition MIRRORS the replicated path exactly: each global
+        batch carries ``batch_size_test`` REAL rows (the same dataset
+        prefix per batch, ``_n`` included), padded up to the device-
+        divisible T by repeating the window's last real row — so metrics
+        are identical between launch topologies even under
+        ``limit_val_batches`` (a truncated eval scores the same sample
+        prefix either way)."""
         dm = self.cfg["datamodule"]
         n_proc = jax.process_count()
         rank = jax.process_index()
         N = len(dataset)
-        T = dm["batch_size_test"]
-        T += (-T) % self.n_data  # static global batch, device-divisible
-        n_batches = -(-N // T)
+        B = dm["batch_size_test"]  # real rows per global batch
+        T = B + (-B) % self.n_data  # static padded batch, device-divisible
+        n_batches = -(-N // B)
         if not n_batches:
             return
-        all_idx = np.arange(n_batches * T)
-        all_idx[N:] = N - 1
         per = T // n_proc  # n_proc | n_data | T (checked by caller)
+        windows = []
+        for k in range(n_batches):
+            real = np.arange(k * B, min((k + 1) * B, N))
+            pad = np.full(T - len(real), real[-1])
+            windows.append((np.concatenate([real, pad]), len(real)))
         local = np.concatenate([
-            all_idx[k * T + rank * per: k * T + (rank + 1) * per]
-            for k in range(n_batches)])
+            w[rank * per:(rank + 1) * per] for w, _ in windows])
         loader = BatchLoader(dataset, per, num_workers=dm["num_workers"])
-        for k, batch in enumerate(loader.iter_indices(local)):
+        for (w, n_true), batch in zip(windows, loader.iter_indices(local)):
             out = {"x": batch["x"]}
-            out.update(dataset.targets_for(all_idx[k * T:(k + 1) * T]))
-            out["_n"] = min(T, N - k * T)
+            out.update(dataset.targets_for(w))
+            out["_n"] = n_true
             yield out
 
     def validate(self) -> dict:

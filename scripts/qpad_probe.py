@@ -160,7 +160,14 @@ def main():
     results["vjp_prod_ms"] = round(time_chain(prod_vjp, q, args.iters), 3)
 
     out_path = Path(__file__).resolve().parent.parent / "QPAD_r05.json"
-    out_path.write_text(json.dumps(results, indent=2))
+    # read-merge-write: the committed file also carries the full-step A/B
+    # records (full_step_ab_10s_b100 etc.) that CLAUDE.md and the
+    # acceptance bands cite — a re-run must not destroy them
+    merged = {}
+    if out_path.exists():
+        merged = json.loads(out_path.read_text())
+    merged.update(results)
+    out_path.write_text(json.dumps(merged, indent=2))
     print(json.dumps(results, indent=2))
 
 

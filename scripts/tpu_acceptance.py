@@ -41,7 +41,7 @@ def check(name, ok, detail=""):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
-                    help="smaller batches, fewer timing iters")
+                    help="fewer timing iters (the fused program stays batch 32)")
     args = ap.parse_args()
 
     from maest_tpu.models.registry import build_config
@@ -154,12 +154,20 @@ def main():
     # the train-step bands' device-window noise allowance.
     import bench
 
-    f = bench.measure_fused(batch=32, iters=10 if args.quick else 30)
-    check("inference_throughput", f["implied_tflops"] < 400,
-          f"{f['audio_s_per_s']:.0f} audio-s/s ({f['ms_per_step']} ms/step, "
-          f"{f['implied_tflops']:.0f} TF/s)")
-    check("inference_30s_band", f["ms_per_step"] <= 131.0 * 1.15,
-          f"{f['ms_per_step']} ms/step (record ~131 ms, band 150.7)")
+    # measure_fused self-protects with an internal implied-TFLOP/s assert
+    # (lazy-relay timing that fails to force execution); convert that to a
+    # recorded FAIL so the remaining train-band checks still run
+    try:
+        f = bench.measure_fused(batch=32, iters=10 if args.quick else 30)
+    except AssertionError as e:
+        check("inference_throughput", False, str(e))
+        f = None
+    if f is not None:
+        check("inference_throughput", f["implied_tflops"] < 400,
+              f"{f['audio_s_per_s']:.0f} audio-s/s ({f['ms_per_step']} "
+              f"ms/step, {f['implied_tflops']:.0f} TF/s)")
+        check("inference_30s_band", f["ms_per_step"] <= 131.0 * 1.15,
+              f"{f['ms_per_step']} ms/step (record ~131 ms, band 150.7)")
 
     # -- 5. train-step band at the TRUE 30 s recipe shape ----------------------
     # The round-3 harness-geometry bug (spt=60 instead of 90) skewed every

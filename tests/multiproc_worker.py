@@ -226,8 +226,14 @@ def scenario_eval(pid: int, nproc: int, out_dir: Path, corpus: str):
 
     ds.__getitem__ = counting
     metrics = trainer.validate()
+    n_loaded_full = n_loaded[0]
+    # truncated eval must score the same sample prefix as the replicated
+    # path (the sharded generator mirrors batch_size_test-real-row windows)
+    trainer.cfg["trainer"]["limit_val_batches"] = 2
+    metrics_limited = trainer.validate()
     (out_dir / f"eval_p{pid}.json").write_text(json.dumps(
-        {"metrics": metrics, "n_loaded": n_loaded[0], "n_items": len(ds)}))
+        {"metrics": metrics, "metrics_limited": metrics_limited,
+         "n_loaded": n_loaded_full, "n_items": len(ds)}))
 
 
 def scenario_predict(pid: int, nproc: int, out_dir: Path, corpus: str):

@@ -228,24 +228,31 @@ def test_eval_rank_sharded_matches_replicated(corpus, tmp_path):
 
     # identical metrics on every host (best-val decisions are collective)
     assert recs[0]["metrics"] == recs[1]["metrics"]
-    # the IO split: 12 items, global batch 4 (3 padded to the 4-way data
-    # axis), 3 batches, 2 rows per host per batch = exactly 6 loads each
+    assert recs[0]["metrics_limited"] == recs[1]["metrics_limited"]
+    # the IO split: 12 items, batches of 3 real rows padded to the 4-way
+    # data axis (T=4, incl. 1 repeated pad row), 4 windows, 2 rows per
+    # host per window = exactly 8 loads each (vs 16 for a full replica)
     for r in recs:
         assert r["n_items"] == 12
-        assert r["n_loaded"] == 6, (
-            f"expected 1/P of the loads, got {r['n_loaded']}/12")
+        assert r["n_loaded"] == 8, (
+            f"expected 1/P of the loads, got {r['n_loaded']}/16")
 
-    # single-process replicated reference over the same 4-device sharding
+    # single-process replicated reference over the same 4-device sharding;
+    # metrics must match at FULL eval and under limit_val_batches (the
+    # sharded generator mirrors the replicated batch composition exactly)
     from maest_tpu.train.loop import Trainer
     from _mp_common import fit_cfg
 
     cfg = fit_cfg(str(corpus), str(tmp_path / "ref_logs"), None)
     cfg["trainer"]["limit_val_batches"] = 0
-    ref = Trainer(cfg, run_info={"command": "eval"}).validate()
-    assert set(ref) == set(recs[0]["metrics"])
-    for k, v in ref.items():
-        assert abs(recs[0]["metrics"][k] - v) < 1e-5, (
-            k, recs[0]["metrics"][k], v)
+    trainer = Trainer(cfg, run_info={"command": "eval"})
+    for limit, key in ((0, "metrics"), (2, "metrics_limited")):
+        trainer.cfg["trainer"]["limit_val_batches"] = limit
+        ref = trainer.validate()
+        assert set(ref) == set(recs[0][key])
+        for k, v in ref.items():
+            assert abs(recs[0][key][k] - v) < 1e-5, (limit, k,
+                                                     recs[0][key][k], v)
 
 
 def test_predict_two_process_partitions_files(corpus, tmp_path):
