@@ -203,15 +203,24 @@ def scenario_steps_pp(pid: int, nproc: int, out_dir: Path, fsdp: bool):
                  losses=np.array(losses), **final)
 
 
-def scenario_eval(pid: int, nproc: int, out_dir: Path, corpus: str):
+def scenario_eval(pid: int, nproc: int, out_dir: Path, corpus: str,
+                  ts: bool = False):
     """Rank-sharded eval (reference: discogs/datamodule.py:79-97): each
     host loads only 1/P of the val windows, the replicated eval_step
     output is the on-device gather, and every host computes identical
-    metrics. Counts per-host item loads to prove the IO split."""
+    metrics. Counts per-host item loads to prove the IO split. ``ts``
+    runs the teacher-student variant: y_teacher for the FULL window comes
+    from targets_for metadata (small .logits.npy reads), exercising the
+    dual-loss eval asymmetry under sharded loading."""
     from maest_tpu.train.loop import Trainer
 
     cfg = fit_cfg(corpus, str(out_dir / "exp_logs"), None)
     cfg["trainer"]["limit_val_batches"] = 0  # score the full val set
+    if ts:
+        cfg["datamodule"]["teacher_student"] = {
+            "do": True, "teacher_target_base_dir": corpus,
+            "teacher_target_threshold": 0.45,
+        }
     trainer = Trainer(cfg, run_info={"command": "eval"})
     ds = trainer._val_dataset()
 
@@ -286,6 +295,8 @@ def main():
         scenario_steps_pp(pid, nproc, out_dir, fsdp=True)
     elif scenario == "eval_sharded":
         scenario_eval(pid, nproc, out_dir, sys.argv[6])
+    elif scenario == "eval_sharded_ts":
+        scenario_eval(pid, nproc, out_dir, sys.argv[6], ts=True)
     elif scenario == "predict":
         scenario_predict(pid, nproc, out_dir, sys.argv[6])
     elif scenario == "fit":

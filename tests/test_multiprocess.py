@@ -255,6 +255,39 @@ def test_eval_rank_sharded_matches_replicated(corpus, tmp_path):
                                                      recs[0][key][k], v)
 
 
+def test_eval_rank_sharded_teacher_student(corpus, tmp_path):
+    """TS variant of the rank-sharded eval: full-window y_teacher targets
+    come from metadata (targets_for), and the standard/teacher/combined
+    loss asymmetry (reference: models/module.py:326-331) must match the
+    single-process replicated path."""
+    import json
+
+    rng = np.random.default_rng(9)
+    for i in range(12):
+        np.save(corpus / f"clip{i}.mmap.logits.npy",
+                (rng.standard_normal(4) * 3).astype("float32"))
+
+    _spawn("eval_sharded_ts", tmp_path, str(corpus))
+    recs = [json.loads((tmp_path / f"eval_p{i}.json").read_text())
+            for i in range(NPROC)]
+    assert recs[0]["metrics"] == recs[1]["metrics"]
+    assert any(k.startswith("val_loss_teacher") for k in recs[0]["metrics"])
+
+    from maest_tpu.train.loop import Trainer
+    from _mp_common import fit_cfg
+
+    cfg = fit_cfg(str(corpus), str(tmp_path / "ref_logs"), None)
+    cfg["trainer"]["limit_val_batches"] = 0
+    cfg["datamodule"]["teacher_student"] = {
+        "do": True, "teacher_target_base_dir": str(corpus),
+        "teacher_target_threshold": 0.45,
+    }
+    ref = Trainer(cfg, run_info={"command": "eval"}).validate()
+    assert set(ref) == set(recs[0]["metrics"])
+    for k, v in ref.items():
+        assert abs(recs[0]["metrics"][k] - v) < 1e-5, (k, recs[0]["metrics"][k], v)
+
+
 def test_predict_two_process_partitions_files(corpus, tmp_path):
     """Multi-process extraction (VERDICT r4 #7): hosts partition by FILE,
     each writes only its own .npy outputs, the union covers the corpus,
