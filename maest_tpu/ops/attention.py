@@ -203,7 +203,11 @@ from ..utils.shapes import round_up as _round_up  # shared tile math
 
 
 def _pick_block(n_pad: int, target: int) -> int:
-    """Largest 128-multiple divisor of n_pad that is <= target."""
+    """Largest 128-multiple divisor of n_pad that is <= target.
+
+    128 is the FLOOR (Mosaic lane granularity): a target below 128 still
+    returns 128 — an explicit block_q/block_k override smaller than that
+    is silently clamped up, never honored."""
     best = 128
     for mult in range(1, n_pad // 128 + 1):
         cand = 128 * mult
@@ -320,6 +324,20 @@ def _sublane_q_pad(n: int, n_pad: int, n_real: int | None,
     return nq
 
 
+def _resolve_nq(n: int, n_pad: int, block_q: int, n_real: int | None,
+                quant: str | None, bwd_quant: str | None,
+                for_train: bool) -> int:
+    """Single source of truth for the sublane q-pad decision.
+
+    The forward's saved lse shape and the backward that consumes it MUST
+    resolve the same nq — both ``_flash_fwd_lse`` and ``_bwd`` call THIS
+    (never ``_sublane_q_pad`` directly), so the single-q-block condition
+    and the predicate can never desynchronize."""
+    if _pick_block(n_pad, block_q) != n_pad:
+        return n_pad  # multi-q-block forward: uniform pad, n_pad lse
+    return _sublane_q_pad(n, n_pad, n_real, quant, bwd_quant, for_train)
+
+
 def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
                    with_lse: bool = True, n_real: int | None = None,
                    quant: str | None = None,
@@ -347,11 +365,10 @@ def _flash_fwd_lse(q, k, v, *, block_q: int, block_k: int, interpret: bool,
     bk = _pick_block(n_pad, block_k)
     # sublane-only q padding: single-q-block programs may shrink the q-row
     # axis to round_up(n, 8) (keys stay lane-padded at n_pad); the lse (if
-    # emitted) is then (b*h, 1, nq) and the matching backward runs the
-    # same nq (the _sublane_q_pad predicate is deterministic in both)
-    nq = (_sublane_q_pad(n, n_pad, n_real, quant, bwd_quant,
-                         for_train=with_lse)
-          if bq == n_pad else n_pad)
+    # emitted) is then (b*h, 1, nq) and the matching backward resolves the
+    # same nq through the shared _resolve_nq
+    nq = _resolve_nq(n, n_pad, block_q, n_real, quant, bwd_quant,
+                     for_train=with_lse)
     g = _pick_group(n_pad, b * h) if bq == n_pad else 1
     if nq != n_pad:
         bq = nq
@@ -446,11 +463,21 @@ def _flash_fwd(q, k, v, *, block_q: int, block_k: int, interpret: bool,
 
 
 def attention_reference(q, k, v):
-    """XLA attention (numerics oracle & backward path). (B, N, H, D)."""
+    """XLA attention numerics oracle. (B, N, H, D).
+
+    Precision is PINNED to HIGHEST: on TPU the ambient default is
+    bf16-mantissa fp32 matmuls (CLAUDE.md numerics trap), which would
+    put ~bf16 noise in the oracle itself and let a real kernel
+    regression up to that band pass the flash-vs-oracle gates. The
+    production XLA attention path lives in models/vit.py (tier-pinned
+    there); this function is tests/acceptance-only."""
     d = q.shape[-1]
-    s = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     p = jax.nn.softmax(s * d**-0.5, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhnm,bmhd->bnhd", p, v)
+    return jnp.einsum("bhnm,bmhd->bnhd", p, v,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _attn_bwd_kernel(q_ref, kt_ref, v_ref, do_ref, o_ref, lse_ref,
@@ -1001,9 +1028,20 @@ def flash_attention(q, k, v, block_q: int | None = None,
     n_pad = _round_up(q.shape[1], 128)
     if n_pad not in _TUNED_FWD_BLOCKS and n_pad not in _FWD_MEASURED_GENERIC:
         _note_untuned(n_pad, "fwd blocks", (896, 448))
+    if quant == "none":  # config-file spelling of "off", like bwd_quant
+        quant = None
+    if quant not in (None, "qk8", "qk8pv8", "fp8", "fp8pv8"):
+        raise ValueError(f"unknown attention quant mode {quant!r}; expected "
+                         "None, 'qk8', 'qk8pv8', 'fp8' or 'fp8pv8'")
     if bwd_quant not in (None, "none", "int8"):
         raise ValueError(f"unknown attention bwd_quant mode {bwd_quant!r}; "
                          "expected None or 'int8'")
+    if n_real is not None and n_real > q.shape[1]:
+        # a caller bookkeeping bug: keys in [N, n_real) would be the
+        # kernel's ZERO pads left unmasked, silently absorbing softmax
+        # probability mass and diluting the output toward zero vectors
+        raise ValueError(
+            f"n_real={n_real} exceeds the sequence length {q.shape[1]}")
     tq, tk = _TUNED_FWD_BLOCKS.get(n_pad, (896, 448))
     return _flash_attention_vjp(q, k, v, block_q or tq, block_k or tk,
                                 interpret,
@@ -1067,15 +1105,10 @@ def _bwd(block_q, block_k, interpret, n_real, quant, bwd_quant, res, g):
         return _flash_bwd_q8(q, k, v, o, lse, g,
                              block_q=_pick_bwd_block(n_pad),
                              interpret=interpret, n_real=n_real)
-    # must mirror the forward's lse shape: same deterministic predicate,
-    # INCLUDING the forward's single-q-block condition (multi-block
-    # forwards emit an n_pad-shaped lse and never apply q-padding)
-    if _pick_block(n_pad, block_q) == n_pad:
-        nq = _sublane_q_pad(q.shape[1], n_pad, n_real, quant,
-                            bwd_quant if bwd_quant != "none" else None,
-                            for_train=True)
-    else:
-        nq = n_pad
+    # the shared resolver guarantees this matches the forward's lse shape
+    # (bwd_quant was already normalized at the flash_attention boundary)
+    nq = _resolve_nq(q.shape[1], n_pad, block_q, n_real, quant, bwd_quant,
+                     for_train=True)
     return _flash_bwd(q, k, v, o, lse, g, block_q=_pick_bwd_block(n_pad),
                       block_k=1 << 30, interpret=interpret, n_real=n_real,
                       n_qpad=None if nq == n_pad else nq)

@@ -89,6 +89,22 @@ def main():
     check("int8_bwd_grad_vs_oracle", worst_cos > 0.999 and worst_rel < 0.15,
           f"min cos={worst_cos:.5f} worst relmax={worst_rel:.3f}")
 
+    # -- 1a2. quant FORWARD modes on real Mosaic lowering (grouped class) ----
+    # The int8 backward's constant-scale round->int8->dot pattern once
+    # miscompiled to zeros in grouped (g>1) kernels and was only caught on
+    # device; the quant forwards share that pattern family and interpret
+    # mode cannot catch it — validate all four at a GROUPED pad class
+    # (n=875 -> 896, g from _TUNED_FWD_GROUP).
+    for mode, tol in (("qk8", 0.05), ("qk8pv8", 0.08),
+                      ("fp8", 0.15), ("fp8pv8", 0.2)):
+        outq = np.asarray(jax.jit(
+            lambda q, k, v, m=mode: flash_attention(q, k, v, quant=m)
+        )(q, k, v))
+        qerr = float(np.abs(outq - ref).max())
+        nonzero = float(np.abs(outq).max()) > 0
+        check(f"quant_fwd_{mode}_vs_oracle", nonzero and qerr < tol,
+              f"max|d|={qerr:.2e} nonzero={nonzero}")
+
     # -- 1b. larger-than-VMEM split backward (n_pad > 4096 dispatch) ----------
     n_long = 4600  # pads to 4608 > _FULL_K_BWD_MAX_N_PAD -> split kernels
     ql, kl, vl = (
