@@ -1,5 +1,6 @@
 from .mesh import (
     ensure_on_mesh,
+    init_distributed,
     batch_sharding,
     make_mesh,
     param_shardings,
@@ -18,6 +19,7 @@ from .pipeline import (
 
 __all__ = [
     "ensure_on_mesh",
+    "init_distributed",
     "batch_sharding",
     "make_mesh",
     "make_pipeline_forward",

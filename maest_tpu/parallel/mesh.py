@@ -33,13 +33,20 @@ def init_distributed(coordinator_address: Optional[str] = None,
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
-    if coordinator_address is None and (
+    # the guard must see the ENV configuration too: JAX_NUM_PROCESSES /
+    # JAX_PROCESS_ID set with the coordinator address forgotten would
+    # otherwise silently skip initialize() and let every host train as an
+    # independent single-process run — the exact failure this exists for
+    wants_multiproc = (
         num_processes is not None or process_id is not None
-    ) and not os.environ.get("TPU_WORKER_HOSTNAMES"):
-        # fail fast: silently skipping initialize() here would let every
-        # host train as an independent single-process run
+        or os.environ.get("JAX_NUM_PROCESSES")
+        or os.environ.get("JAX_PROCESS_ID")
+    )
+    if coordinator_address is None and wants_multiproc \
+            and not os.environ.get("TPU_WORKER_HOSTNAMES"):
         raise ValueError(
-            "init_distributed(num_processes/process_id) requires a "
+            "init_distributed(num_processes/process_id — as arguments or "
+            "JAX_NUM_PROCESSES/JAX_PROCESS_ID env vars) requires a "
             "coordinator_address (or JAX_COORDINATOR_ADDRESS)"
         )
     if coordinator_address or os.environ.get("TPU_WORKER_HOSTNAMES"):

@@ -72,7 +72,9 @@ def make_pipeline_mesh(n_devices: Optional[int] = None,
         n_devices = len(devices)
     if n_devices > len(devices):
         raise ValueError(
-            f"requested {n_devices} devices but only {len(devices)} visible"
+            f"requested {n_devices} devices but only {len(devices)} visible "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+            "virtual CPU mesh)"
         )
     if n_devices % (num_stages * model_parallel):
         raise ValueError(
@@ -429,25 +431,40 @@ def pipeline_trunk(
             return h
 
         def sched_step(carry, t):
+            h_prev, acc = carry
             # index the microbatch inside the scan (steps t >= m feed the
             # last microbatch; stage 0 ignores it then) — materializing a
             # (T, mb, n, e) feed up front duplicated S-1 full microbatch
             # buffers per step purely for those discarded drain steps
             inp_t = jax.lax.dynamic_index_in_dim(
                 xs_mb, jnp.minimum(t, m - 1), keepdims=False)
-            h = jnp.where(stage == 0, inp_t, carry)
+            h = jnp.where(stage == 0, inp_t, h_prev)
             h = run_stage(h, t)
             nxt = jax.lax.ppermute(
                 h, "pipe", [(i, (i + 1) % n_stages) for i in range(n_stages)]
             )
-            return nxt, h
+            # accumulate only the m REAL outputs into an (m, ...) carry
+            # instead of stacking all m+S-1 scan steps (the warm-up steps'
+            # outputs are dead on every stage; stacking them held S-1 extra
+            # microbatch buffers live through fwd AND as bwd residuals).
+            # Steps t < S-1 clamp to slot 0, which the genuine t = S-1
+            # write then overwrites — overwritten writes get zero
+            # cotangent, preserving the drain-step gradient isolation.
+            idx = jnp.maximum(t - (n_stages - 1), 0)
+            acc = jax.lax.dynamic_update_index_in_dim(acc, h, idx, 0)
+            return (nxt, acc), None
 
         # the carry crosses stages, so it is varying over 'pipe' from step 1
-        # on; pcast the zero init to the same vma type
+        # on; pcast the zero inits to the same vma type
         init = jax.lax.pcast(jnp.zeros_like(xs_mb[0]), ("pipe",),
                              to="varying")
-        _, hs = jax.lax.scan(sched_step, init, jnp.asarray(t_sched))
-        out = hs[n_stages - 1:]  # (m, mb, n, e), valid on the last stage
+        # fresh zeros are unvarying on BOTH manual axes; h (the update) is
+        # data-varying (from the data-sharded input) and pipe-varying
+        acc0 = jax.lax.pcast(jnp.zeros((m,) + xs_mb.shape[1:], xs_mb.dtype),
+                             ("pipe", "data"), to="varying")
+        (_, out), _ = jax.lax.scan(sched_step, (init, acc0),
+                                   jnp.asarray(t_sched))
+        # (m, mb, n, e), valid on the last stage
         out = jnp.where(stage == n_stages - 1, out, jnp.zeros_like(out))
         out = jax.lax.psum(out, "pipe")  # broadcast result to every stage
         return out.reshape(-1, *out.shape[2:])
